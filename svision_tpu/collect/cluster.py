@@ -1,0 +1,259 @@
+"""Signature partitioning + hierarchical clustering.
+
+Port of cluster_signatures.py: sort signatures by locus, split into partitions
+at >5 kb gaps (signature_partition, cluster_signatures.py:51-66), then
+average-linkage cluster each partition with the custom span/position metric and
+cut at t=0.3 (cluster_signatures.py:95-121).
+
+The reference delegates to scipy.cluster.hierarchy; cluster membership feeds
+every downstream call, so this module re-implements the same algorithms
+(Müllner NN-chain average linkage + distance-criterion flat clustering,
+identical tie-breaking) with no scipy dependency. Exact agreement with scipy is
+covered by tests/test_cluster.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from svision_tpu.collect.classes import Cluster, Signature
+
+
+def span_position_distance(a, b) -> float:
+    """Custom metric (cluster_signatures.py:132-141); a, b = (start, end, norm)."""
+    normalizer = a[2]
+    span1 = a[1] - a[0]
+    span2 = b[1] - b[0]
+    center1 = (a[0] + a[1]) // 2
+    center2 = (b[0] + b[1]) // 2
+    position_distance = min(abs(a[0] - b[0]), abs(a[1] - b[1]),
+                            abs(center1 - center2)) / normalizer
+    span_distance = abs(span1 - span2) / max(span1, span2)
+    return position_distance + span_distance
+
+
+def span_position_pdist(data: np.ndarray) -> np.ndarray:
+    """Condensed distance matrix of span_position_distance, vectorized.
+
+    Bit-identical to scipy pdist(data, span_position_distance): same float64
+    elementary operations in the same order.
+    """
+    x = np.asarray(data, dtype=np.float64)
+    n = x.shape[0]
+    iu, ju = np.triu_indices(n, k=1)
+    a, b = x[iu], x[ju]
+    span1 = a[:, 1] - a[:, 0]
+    span2 = b[:, 1] - b[:, 0]
+    center1 = np.floor_divide(a[:, 0] + a[:, 1], 2)
+    center2 = np.floor_divide(b[:, 0] + b[:, 1], 2)
+    pos = np.minimum(np.minimum(np.abs(a[:, 0] - b[:, 0]),
+                                np.abs(a[:, 1] - b[:, 1])),
+                     np.abs(center1 - center2)) / a[:, 2]
+    span = np.abs(span1 - span2) / np.maximum(span1, span2)
+    return pos + span
+
+
+def _condensed_index(n: int, i: int, j: int) -> int:
+    if i > j:
+        i, j = j, i
+    return n * i - (i * (i + 1) // 2) + (j - i - 1)
+
+
+class _LinkageUnionFind:
+    """Union-find with next-label assignment (scipy label() semantics)."""
+
+    def __init__(self, n: int):
+        self.parent = list(range(2 * n - 1))
+        self.size = [1] * (2 * n - 1)
+        self.next_label = n
+
+    def merge(self, x: int, y: int) -> int:
+        self.parent[x] = self.next_label
+        self.parent[y] = self.next_label
+        size = self.size[x] + self.size[y]
+        self.size[self.next_label] = size
+        self.next_label += 1
+        return size
+
+    def find(self, x: int) -> int:
+        p = x
+        while self.parent[x] != x:
+            x = self.parent[x]
+        while self.parent[p] != x:
+            p, self.parent[p] = self.parent[p], x
+        return x
+
+
+def linkage_average(dists: np.ndarray, n: int) -> np.ndarray:
+    """Average-linkage via the NN-chain algorithm on a condensed distance
+    matrix. Merge order, tie-breaking and output labeling match
+    scipy.cluster.hierarchy.linkage(method='average')."""
+    d = np.asarray(dists, dtype=np.float64).copy()
+    z = np.empty((n - 1, 4), dtype=np.float64)
+    size = np.ones(n, dtype=np.int64)
+    chain: List[int] = []
+
+    for k in range(n - 1):
+        if not chain:
+            for i in range(n):
+                if size[i] > 0:
+                    chain.append(i)
+                    break
+        while True:
+            x = chain[-1]
+            if len(chain) > 1:
+                y = chain[-2]
+                current_min = d[_condensed_index(n, x, y)]
+            else:
+                y = -1
+                current_min = np.inf
+            for i in range(n):
+                if size[i] == 0 or x == i:
+                    continue
+                dist = d[_condensed_index(n, x, i)]
+                if dist < current_min:
+                    current_min = dist
+                    y = i
+            if len(chain) > 1 and y == chain[-2]:
+                break
+            chain.append(y)
+        del chain[-2:]
+        if x > y:
+            x, y = y, x
+        nx, ny = size[x], size[y]
+        z[k] = (x, y, current_min, nx + ny)
+        size[x] = 0
+        size[y] = nx + ny
+        # Lance-Williams average update into slot y
+        for i in range(n):
+            ni = size[i]
+            if ni == 0 or i == y:
+                continue
+            ci = _condensed_index(n, i, y)
+            d[ci] = (nx * d[_condensed_index(n, i, x)] + ny * d[ci]) / (nx + ny)
+
+    order = np.argsort(z[:, 2], kind="stable")
+    z = z[order]
+    uf = _LinkageUnionFind(n)
+    for i in range(n - 1):
+        x, y = int(z[i, 0]), int(z[i, 1])
+        xr, yr = uf.find(x), uf.find(y)
+        z[i, 0], z[i, 1] = (xr, yr) if xr < yr else (yr, xr)
+        z[i, 3] = uf.merge(xr, yr)
+    return z
+
+
+def _max_dists(z: np.ndarray, n: int) -> np.ndarray:
+    """maxdists: max cophenetic distance within each merged node."""
+    mc = np.zeros(n - 1)
+    for i in range(n - 1):
+        lc, rc = int(z[i, 0]), int(z[i, 1])
+        m = z[i, 2]
+        if lc >= n:
+            m = max(m, mc[lc - n])
+        if rc >= n:
+            m = max(m, mc[rc - n])
+        mc[i] = m
+    return mc
+
+
+def fcluster_distance(z: np.ndarray, t: float, n: int) -> np.ndarray:
+    """Flat clusters with criterion='distance' (scipy cluster_monocrit port:
+    DFS from the root, new cluster whenever max-dist drops to <= t)."""
+    if n == 1:
+        return np.ones(1, dtype=np.int32)
+    mc = _max_dists(z, n)
+    labels = np.zeros(n, dtype=np.int32)
+    visited = np.zeros(2 * n, dtype=bool)
+    stack = [2 * n - 2]
+    n_cluster = 0
+    cluster_leader = -1
+    while stack:
+        root = stack[-1] - n
+        lc, rc = int(z[root, 0]), int(z[root, 1])
+        if cluster_leader == -1 and mc[root] <= t:
+            cluster_leader = root
+            n_cluster += 1
+        if lc >= n and not visited[lc]:
+            visited[lc] = True
+            stack.append(lc)
+            continue
+        if rc >= n and not visited[rc]:
+            visited[rc] = True
+            stack.append(rc)
+            continue
+        if lc < n:
+            if cluster_leader == -1:
+                n_cluster += 1
+            labels[lc] = n_cluster
+        if rc < n:
+            if cluster_leader == -1:
+                n_cluster += 1
+            labels[rc] = n_cluster
+        if cluster_leader == root:
+            cluster_leader = -1
+        stack.pop()
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# partitioning + clustering drivers (cluster_signatures.py:12-130)
+# ---------------------------------------------------------------------------
+
+PARTITION_HARD_LIMIT = 100000  # repeat-region guard (cluster_signatures.py:80-85)
+
+
+def signature_partition(signatures: Sequence[Signature], options) -> List[List[Signature]]:
+    sorted_sigs = sorted(signatures, key=lambda s: s.get_key())
+    partitions: List[List[Signature]] = []
+    current: List[Signature] = []
+    for sig in sorted_sigs:
+        if len(current) > options.min_support and \
+                current[-1].position_distance_to(sig) > options.patition_max_distance:
+            partitions.append(current[:])
+            current = []
+        current.append(sig)
+    if len(current) > options.min_support:
+        partitions.append(current[:])
+    return partitions
+
+
+def cluster_partitions(partitions, chrom, coverage_counter, options,
+                       logger=None) -> List[Cluster]:
+    clusters: List[Cluster] = []
+    for partition in partitions:
+        if len(partition) > PARTITION_HARD_LIMIT:
+            if logger is not None:
+                logger.warning(
+                    "Partition size large than 100,000, ranging from "
+                    f"{chrom}:{partition[0].tstart}-{partition[-1].tstart}")
+            continue
+        if len(partition) == 1:
+            c = Cluster(partition, coverage_counter)
+            if c.abandon == 0:
+                clusters.append(c)
+            continue
+
+        data = np.array([[s.get_source()[1], s.get_source()[2], 1000]
+                         for s in partition])
+        dists = span_position_pdist(data)
+        z = linkage_average(dists, len(partition))
+        idx = fcluster_distance(z, options.cluster_max_distance, len(partition))
+
+        groups: List[List[Signature]] = [[] for _ in range(int(idx.max()))]
+        for sig_i, cl_i in enumerate(idx):
+            groups[cl_i - 1].append(partition[sig_i])
+        for group in groups:
+            c = Cluster(group, coverage_counter)
+            if c.abandon == 0:
+                clusters.append(c)
+
+    return sorted(clusters, key=lambda c: (c.contig, (c.cstart + c.cend) / 2))
+
+
+def partition_and_cluster(signatures, chrom, coverage_counter, options,
+                          logger=None) -> List[Cluster]:
+    partitions = signature_partition(signatures, options)
+    return cluster_partitions(partitions, chrom, coverage_counter, options, logger)

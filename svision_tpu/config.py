@@ -1,0 +1,71 @@
+"""Typed configuration for the whole engine.
+
+Flag names, defaults and semantics mirror the reference CLI so that users of the
+reference can switch without relearning options (reference: SVision:27-106).
+Unlike the reference (a raw argparse Namespace threaded positionally through every
+layer), this is a single frozen dataclass; components take only what they need.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Options:
+    # I/O (reference: SVision:32-38)
+    out_path: str = ""
+    bam_path: str = ""
+    model_path: str = ""          # CNN weights: TF1 .ckpt prefix or .npz pytree
+    genome: str = ""              # FASTA, .fai required next to it
+    sample: str = "sample"
+
+    # Optional (reference: SVision:40-62)
+    thread_num: int = 1
+    min_support: int = 5
+    chrom: Optional[str] = None   # 'chr1' or 'chr1:xxx-xxx'
+    hash: bool = False            # local k-mer realignment of unmapped sequence
+    qname: bool = False           # report support read names in INFO
+    graph: bool = False           # CSV breakpoint graphs + GFA output
+    contig: bool = False          # assembly-contig mode (min_support forced to 1)
+    debug: bool = False           # keep intermediate outputs
+
+    # Collect (reference: SVision:71-77)
+    min_mapq: int = 10
+    min_sv_size: int = 50
+    max_sv_size: int = 1000000
+    window_size: int = 10000000
+
+    # Cluster (reference: SVision:79-84)
+    patition_max_distance: int = 5000     # sic: reference spelling kept for parity
+    cluster_max_distance: float = 0.3
+
+    # Predict (reference: SVision:87-88)
+    batch_size: int = 128
+
+    # Genotype (reference: SVision:90-95)
+    min_gt_depth: int = 4
+    homo_thresh: float = 0.8
+    hete_thresh: float = 0.2
+
+    # Hash realigner (reference: SVision:97-102)
+    k_size: int = 10
+    min_accept: int = 50
+    max_hash_len: int = 1000
+
+    # --- svision-tpu additions (no reference equivalent) ---
+    # Device mesh shape for data-parallel inference; None = all local devices.
+    mesh_devices: Optional[int] = None
+    # Use bfloat16 for the CNN forward pass (fp32 logits accumulation).
+    bf16: bool = True
+
+    def normalized(self) -> "Options":
+        """Apply the reference's dynamic overrides (SVision:161-162)."""
+        if self.contig and self.min_support != 1:
+            return dataclasses.replace(self, min_support=1)
+        return self
+
+
+def default_options(**kw) -> Options:
+    return Options(**kw).normalized()

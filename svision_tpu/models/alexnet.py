@@ -1,0 +1,166 @@
+"""AlexNet classifier for similarity images, as a pure-JAX pytree model.
+
+Architecture parity with the reference TF1 graph (reference: src/network/alexnet.py:26-58):
+  conv1 11x11x96 s4 VALID + ReLU -> maxpool 3x3 s2 VALID -> LRN(r=2, a=2e-5, b=0.75)
+  conv2 5x5x256 s1 SAME groups=2 + ReLU -> maxpool -> LRN
+  conv3 3x3x384 SAME + ReLU
+  conv4 3x3x384 SAME groups=2 + ReLU
+  conv5 3x3x256 SAME groups=2 + ReLU -> maxpool
+  flatten(6*6*256) -> fc6 4096 + ReLU -> fc7 4096 + ReLU -> fc8 num_classes (logits)
+
+The reference's `groups=2` convolutions are a structural (Caffe-era) grouping, not
+device parallelism; XLA expresses them natively via `feature_group_count`, which maps
+onto the MXU without the reference's split/concat dance (alexnet.py:118-129).
+
+Parameters are a flat dict keyed exactly like the TF1 variable scopes
+({layer}/weights, {layer}/biases — alexnet.py:115-116,144-145) so that converted
+checkpoints drop in with zero renaming.
+
+Class ids follow the reference label order: 0=DEL 1=INS 2=INV 3=DUP 4=tDUP
+(predict.py:133-142).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NUM_CLASSES = 5
+INPUT_SIZE = 227
+# Per-channel mean subtracted from images before the CNN (create_batch.py:13,150).
+IMAGE_MEAN = (104.0, 117.0, 124.0)
+
+# (name, kh, kw, out_ch, stride, padding, groups)
+_CONV_SPECS = (
+    ("conv1", 11, 11, 96, 4, "VALID", 1),
+    ("conv2", 5, 5, 256, 1, "SAME", 2),
+    ("conv3", 3, 3, 384, 1, "SAME", 1),
+    ("conv4", 3, 3, 384, 1, "SAME", 2),
+    ("conv5", 3, 3, 256, 1, "SAME", 2),
+)
+_FC_SPECS = (
+    ("fc6", 6 * 6 * 256, 4096),
+    ("fc7", 4096, 4096),
+    ("fc8", 4096, NUM_CLASSES),
+)
+
+Params = Dict[str, jax.Array]
+
+
+def init_params(rng: jax.Array, num_classes: int = NUM_CLASSES,
+                dtype=jnp.float32) -> Params:
+    """He-init parameters with TF1-compatible names/shapes."""
+    params: Params = {}
+    in_ch = 3
+    keys = jax.random.split(rng, len(_CONV_SPECS) + len(_FC_SPECS))
+    ki = 0
+    for name, kh, kw, out_ch, _, _, groups in _CONV_SPECS:
+        fan_in = kh * kw * (in_ch // groups)
+        w = jax.random.normal(keys[ki], (kh, kw, in_ch // groups, out_ch), dtype)
+        params[f"{name}/weights"] = w * np.sqrt(2.0 / fan_in).astype(np.float32)
+        params[f"{name}/biases"] = jnp.zeros((out_ch,), dtype)
+        in_ch = out_ch
+        ki += 1
+    for name, n_in, n_out in _FC_SPECS:
+        if name == "fc8":
+            n_out = num_classes
+        w = jax.random.normal(keys[ki], (n_in, n_out), dtype)
+        params[f"{name}/weights"] = w * np.sqrt(2.0 / n_in).astype(np.float32)
+        params[f"{name}/biases"] = jnp.zeros((n_out,), dtype)
+        ki += 1
+    return params
+
+
+def lrn(x: jax.Array, radius: int = 2, alpha: float = 2e-5, beta: float = 0.75,
+        bias: float = 1.0) -> jax.Array:
+    """Local response normalization across channels (TF semantics).
+
+    out = x / (bias + alpha * sum_{c-r..c+r} x_c^2)^beta  — matches
+    tf.nn.local_response_normalization used at alexnet.py:164-166.
+
+    Implemented as a channel-axis windowed sum via cumulative sums, which XLA
+    fuses into the surrounding elementwise work (no conv needed).
+    """
+    sq = jnp.square(x)
+    # windowed sum over the channel (last) axis with window 2*radius+1
+    c = x.shape[-1]
+    csum = jnp.cumsum(sq, axis=-1)
+    zero = jnp.zeros_like(csum[..., :1])
+    csum = jnp.concatenate([zero, csum], axis=-1)  # csum[i] = sum of first i
+    hi = jnp.minimum(jnp.arange(c) + radius + 1, c)
+    lo = jnp.maximum(jnp.arange(c) - radius, 0)
+    win = jnp.take(csum, hi, axis=-1) - jnp.take(csum, lo, axis=-1)
+    return x * jax.lax.pow(bias + alpha * win, -beta)
+
+
+def _maxpool(x: jax.Array) -> jax.Array:
+    """3x3 stride-2 VALID max pool (alexnet.py:158-161)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.finfo(jnp.float32).min,
+        jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+
+
+def forward(params: Params, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
+    """Logits for a batch of NHWC [N,227,227,3] mean-subtracted images.
+
+    compute_dtype=jnp.bfloat16 runs convs/matmuls on the MXU in bf16 with f32
+    accumulation; logits are returned in f32 either way.
+    """
+    h = x.astype(compute_dtype)
+    for name, _, _, _, stride, padding, groups in _CONV_SPECS:
+        w = params[f"{name}/weights"].astype(compute_dtype)
+        b = params[f"{name}/biases"].astype(jnp.float32)
+        h = jax.lax.conv_general_dilated(
+            h, w,
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
+        h = jax.nn.relu(h + b)
+        if name in ("conv1", "conv2"):
+            h = _maxpool(h)
+            h = lrn(h)
+        elif name == "conv5":
+            h = _maxpool(h)
+        h = h.astype(compute_dtype)
+
+    h = h.reshape(h.shape[0], -1)  # NHWC flatten: matches tf.reshape (alexnet.py:49)
+    for name, _, _ in _FC_SPECS:
+        w = params[f"{name}/weights"].astype(compute_dtype)
+        b = params[f"{name}/biases"].astype(jnp.float32)
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        if name != "fc8":
+            h = jax.nn.relu(h).astype(compute_dtype)
+    return h  # f32 logits
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def predict(params: Params, x: jax.Array, compute_dtype=jnp.float32):
+    """(logits, argmax, softmax) — the triple the reference session computes
+    per batch (predict.py:209-210)."""
+    logits = forward(params, x, compute_dtype=compute_dtype)
+    return logits, jnp.argmax(logits, axis=1), jax.nn.softmax(logits, axis=1)
+
+
+class AlexNet:
+    """Thin OO wrapper holding params; mirrors reference AlexNet's role."""
+
+    def __init__(self, params: Params, compute_dtype=jnp.float32):
+        self.params = params
+        self.compute_dtype = compute_dtype
+
+    @classmethod
+    def initialized(cls, seed: int = 0, **kw) -> "AlexNet":
+        return cls(init_params(jax.random.PRNGKey(seed)), **kw)
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return forward(self.params, x, compute_dtype=self.compute_dtype)
+
+    def predict(self, x: jax.Array):
+        return predict(self.params, x, compute_dtype=self.compute_dtype)

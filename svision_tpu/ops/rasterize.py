@@ -1,0 +1,201 @@
+"""Similarity-image encoder: segment pairs -> [N,227,227,3] batches, TPU-native.
+
+This is the redesign of the reference's per-candidate OpenCV rasterization
+(create_batch.py:101-152 + plot_segment.py:33-73). The reference draws one
+image at a time on the host with cv.line; here rasterization is reformulated
+as **one-hot outer products contracted on the MXU**:
+
+    pixel set of a line  =  {(row_t, col_t)}_t     (Bresenham closed form)
+    canvas[n]            =  OR_t onehot(row_t) x onehot(col_t)
+                         =  einsum('nkr,nkc->nrc', R, C) > 0
+
+so a whole batch of images is produced by two batched matmuls plus elementwise
+ops — no scatter, no host loop, fully fusable with the CNN that follows.
+
+Semantics replicated bit-for-bit from the reference:
+  * segment rebuild from bed fields: length = yEnd - yStart, xEnd/yEnd
+    recomputed from length (create_batch.py:106-132; classes.Segment:44-54)
+  * ratio = max(readLen, refLen)/227 clamped >= 1; endpoint = int(coord/ratio)
+    (plot_segment.py:12-21,43-52) — computed in float64 on host
+  * image row = read coordinate (x), column = ref coordinate (y); reverse
+    segments draw end->start, which is pixel-identical under cv's
+    left-to-right normalization (plot_segment.py:46-52)
+  * channel 0 = all segments; channel 2 = reverse segments only; channel 1 =
+    columns of ch0 with >=2 lit rows keep those rows (plot_segment.py:55-68)
+  * values {0,255}, then float32 minus mean [104,117,124]
+    (create_batch.py:146-150); cv2.resize is an identity here because the
+    canvas is already 227x227 (SURVEY.md §7)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from svision_tpu.ops import bresenham
+from svision_tpu.models.alexnet import IMAGE_MEAN
+
+CANVAS = 227
+SEGS = 2          # candidate records carry exactly two segments
+MAX_STEPS = 227   # a clipped line has at most CANVAS pixels
+
+
+def specs_to_endpoints(specs: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host preprocessing: candidate specs -> clipped pixel endpoints.
+
+    specs: int64/float [N, 12] with columns
+        xs1, xe1, ys1, ye1, fwd1, xs2, xe2, ys2, ye2, fwd2, read_len, ref_len
+    (bed columns 1-12; x = read axis, y = ref axis; see SURVEY.md §3.2).
+
+    Returns (endpoints int32 [N, SEGS, 4] as (col0,row0,col1,row1) clipped to
+    the canvas, visible bool [N, SEGS], reverse bool [N, SEGS]).
+    """
+    s = np.asarray(specs, dtype=np.int64).reshape(-1, 12)
+    n = s.shape[0]
+
+    xs = np.stack([s[:, 0], s[:, 5]], axis=1)
+    ys = np.stack([s[:, 2], s[:, 7]], axis=1)
+    ye_orig = np.stack([s[:, 3], s[:, 8]], axis=1)
+    fwd = np.stack([s[:, 4], s[:, 9]], axis=1) != 0
+
+    # Segment rebuild (create_batch.py:118,132): length = ye - ys;
+    # xe = xs +/- (length-1); ye = ys + (length-1).
+    length = ye_orig - ys
+    xe = np.where(fwd, xs + (length - 1), xs - (length - 1))
+    ye = ys + (length - 1)
+
+    # ratio clamp (plot_segment.py:12-15); float64 division + trunc toward 0
+    # to match Python's int() exactly.
+    ratio = np.maximum(s[:, 10], s[:, 11]).astype(np.float64) / 227.0
+    ratio = np.maximum(ratio, 1.0)[:, None]
+
+    col0 = np.trunc(ys / ratio).astype(np.int64)   # cv point x = ref axis
+    row0 = np.trunc(xs / ratio).astype(np.int64)   # cv point y = read axis
+    col1 = np.trunc(ye / ratio).astype(np.int64)
+    row1 = np.trunc(xe / ratio).astype(np.int64)
+
+    pts = np.stack([col0, row0, col1, row1], axis=-1)
+    clipped, visible = bresenham.clip_lines_batch(pts, CANVAS, CANVAS)
+    return clipped.astype(np.int32), visible, ~fwd
+
+
+def _line_walk(endpoints: jnp.ndarray):
+    """Per-line pixel walk, closed form. endpoints int32 [..., 4] (c0,r0,c1,r1).
+
+    Returns (cols, rows, valid) each [..., MAX_STEPS] int32/bool.
+    """
+    c0, r0, c1, r1 = (endpoints[..., i] for i in range(4))
+    # left-to-right normalization on the column axis (cv LineIterator)
+    swap = c1 < c0
+    c0n = jnp.where(swap, c1, c0)
+    c1n = jnp.where(swap, c0, c1)
+    r0n = jnp.where(swap, r1, r0)
+    r1n = jnp.where(swap, r0, r1)
+
+    dx = c1n - c0n                       # >= 0
+    dy = r1n - r0n
+    sy = jnp.where(dy >= 0, 1, -1)
+    ady = jnp.abs(dy)
+
+    xmajor = dx >= ady
+    major = jnp.maximum(dx, ady)
+    minor = jnp.minimum(dx, ady)
+
+    i = jnp.arange(MAX_STEPS, dtype=jnp.int32)
+    i = i.reshape((1,) * c0.ndim + (MAX_STEPS,))
+    majorb = major[..., None]
+    minorb = minor[..., None]
+    valid = i <= majorb
+
+    # k(i) = max(0, ceil((2*minor*i - major) / (2*major)))
+    num = 2 * minorb * i - majorb
+    den = jnp.maximum(2 * majorb, 1)
+    k = jnp.maximum(-((-num) // den), 0)
+    k = jnp.where(majorb == 0, 0, k)
+
+    cols = jnp.where(xmajor[..., None], c0n[..., None] + i,
+                     c0n[..., None] + k)
+    rows = jnp.where(xmajor[..., None], r0n[..., None] + sy[..., None] * k,
+                     r0n[..., None] + sy[..., None] * i)
+    return cols, rows, valid
+
+
+def render_images(endpoints: jnp.ndarray, visible: jnp.ndarray,
+                  reverse: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
+    """[N,SEGS,4] clipped endpoints -> [N,227,227,3] mean-subtracted images.
+
+    Pure jittable function; the two einsums below are the MXU rasterization.
+    """
+    n = endpoints.shape[0]
+    cols, rows, valid = _line_walk(endpoints)          # [N,S,T]
+    valid = valid & visible[..., None]
+
+    t = jnp.arange(CANVAS, dtype=jnp.int32)
+    onehot_r = (rows[..., None] == t).astype(jnp.bfloat16)   # [N,S,T,227]
+    onehot_c = (cols[..., None] == t).astype(jnp.bfloat16)
+    onehot_r = onehot_r * valid[..., None].astype(jnp.bfloat16)
+
+    k = SEGS * MAX_STEPS
+    r_all = onehot_r.reshape(n, k, CANVAS)
+    c_all = onehot_c.reshape(n, k, CANVAS)
+    count0 = jnp.einsum("nkr,nkc->nrc", r_all, c_all,
+                        preferred_element_type=jnp.float32)
+    ch0 = count0 > 0                                          # [N,row,col]
+
+    rev = reverse.astype(jnp.bfloat16)[..., None, None]       # [N,S,1,1]
+    r_rev = (onehot_r * rev).reshape(n, k, CANVAS)
+    count2 = jnp.einsum("nkr,nkc->nrc", r_rev, c_all,
+                        preferred_element_type=jnp.float32)
+    ch2 = count2 > 0
+
+    # duplication channel: columns (ref axis) with >=2 lit rows
+    # (plot_segment.py:59-65)
+    col_rows = jnp.sum(ch0, axis=1, keepdims=True)            # [N,1,col]
+    ch1 = ch0 & (col_rows >= 2)
+
+    img = jnp.stack([ch0, ch1, ch2], axis=-1).astype(dtype) * jnp.asarray(255.0, dtype)
+    mean = jnp.asarray(IMAGE_MEAN, dtype)
+    return img - mean
+
+
+@jax.jit
+def render_images_jit(endpoints, visible, reverse):
+    return render_images(endpoints, visible, reverse)
+
+
+def encode_batch(specs: np.ndarray) -> np.ndarray:
+    """Convenience host->device path: specs [N,12] -> images [N,227,227,3]."""
+    ep, vis, rev = specs_to_endpoints(specs)
+    return np.asarray(render_images_jit(jnp.asarray(ep), jnp.asarray(vis),
+                                        jnp.asarray(rev)))
+
+
+# ---------------------------------------------------------------------------
+# numpy reference encoder (golden path for tests; mirrors the reference's
+# cv-based pipeline without cv2)
+# ---------------------------------------------------------------------------
+
+def encode_one_numpy(spec) -> np.ndarray:
+    """Scalar golden encoder using the scalar Bresenham. [227,227,3] float32."""
+    ep, vis, rev = specs_to_endpoints(np.asarray(spec).reshape(1, 12))
+    first = np.zeros((CANVAS, CANVAS), np.float64)
+    third = np.zeros((CANVAS, CANVAS), np.float64)
+    for s in range(SEGS):
+        if not vis[0, s]:
+            continue
+        c0, r0, c1, r1 = (int(v) for v in ep[0, s])
+        for (cx, cy) in bresenham.line_pixels(c0, r0, c1, r1):
+            first[cy, cx] = 255.0
+            if rev[0, s]:
+                third[cy, cx] = 255.0
+    second = np.zeros_like(first)
+    for i in range(CANVAS):
+        pos = np.where(first[:, i] != 0)[0]
+        if len(pos) >= 2:
+            second[pos, i] = 255.0
+    img = np.stack([first, second, third], axis=-1).astype(np.float32)
+    return img - np.asarray(IMAGE_MEAN, np.float32)
