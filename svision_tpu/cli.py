@@ -1,0 +1,297 @@
+"""Command-line driver: the `SVision` entry point, TPU-native.
+
+Flag surface and pipeline staging mirror the reference CLI (SVision:27-395):
+window task list -> collection -> prediction -> QUAL-rescaled merged VCF ->
+optional graph step. Differences by design:
+  * candidates flow in memory (bed files only under --debug)
+  * one device inference engine is shared across chromosomes (the reference
+    rebuilds a TF session per chromosome per process, SVision:311-323)
+  * worker errors are logged with the failing window instead of swallowed
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures
+import datetime
+import logging
+import os
+import shutil
+import sys
+from time import localtime, strftime
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from svision_tpu import __version__, REFERENCE_VERSION
+from svision_tpu.config import Options
+from svision_tpu.collect.window import WindowResult, dump_bed, run_detect
+from svision_tpu.io.bam import BamReader
+from svision_tpu.io.fasta import FastaFile
+
+
+def parse_arguments(arguments=None) -> Options:
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+        description=f"svision-tpu {__version__} (SVision v{REFERENCE_VERSION} "
+                    "capabilities, TPU-native)\n\nShort Usage: svision-tpu "
+                    "[parameters] -o <output path> -b <input bam path> "
+                    "-g <reference> -m <model path>")
+
+    req = parser.add_argument_group("Input/Output parameters")
+    req.add_argument("-o", dest="out_path", type=os.path.abspath, required=True,
+                     help="Absolute path to output")
+    req.add_argument("-b", dest="bam_path", type=os.path.abspath, required=True,
+                     help="Absolute path to bam file")
+    req.add_argument("-m", dest="model_path", type=os.path.abspath,
+                     required=True, help="Absolute path to CNN predict model "
+                     "(TF1 ckpt prefix or .npz)")
+    req.add_argument("-g", dest="genome", type=os.path.abspath, required=True,
+                     help="Absolute path to your reference genome "
+                     "(.fai required in the directory)")
+    req.add_argument("-n", dest="sample", type=str, required=True,
+                     help="Name of the BAM sample name")
+
+    opt = parser.add_argument_group("Optional parameters")
+    opt.add_argument("-t", dest="thread_num", type=int, default=1,
+                     help="Thread numbers (default: %(default)s)")
+    opt.add_argument("-s", dest="min_support", type=int, default=5,
+                     help="Minimum support read number required for SV "
+                     "calling (default: %(default)s)")
+    opt.add_argument("-c", dest="chrom", type=str, default=None,
+                     help="Specific region (chr1:xxx-xxx) or chromosome "
+                     "(chr1) to detect")
+    opt.add_argument("--hash", action="store_true", default=False,
+                     help="Activate local realignment for unmapped sequences")
+    opt.add_argument("--qname", action="store_true", default=False,
+                     help="Report support names for each events")
+    opt.add_argument("--graph", action="store_true", default=False,
+                     help="Report graph for events")
+    opt.add_argument("--contig", action="store_true", default=False,
+                     help="Activate contig mode")
+    opt.add_argument("--debug", action="store_true", default=False,
+                     help="Activate debug mode and keep intermedia outputs")
+
+    col = parser.add_argument_group("Collect parameters")
+    col.add_argument("--min_mapq", type=int, default=10)
+    col.add_argument("--min_sv_size", type=int, default=50)
+    col.add_argument("--max_sv_size", type=int, default=1000000)
+    col.add_argument("--window_size", type=int, default=10000000)
+
+    clu = parser.add_argument_group("Cluster parameters")
+    clu.add_argument("--patition_max_distance", type=int, default=5000)
+    clu.add_argument("--cluster_max_distance", type=float, default=0.3)
+
+    pre = parser.add_argument_group("Predict parameters")
+    pre.add_argument("--batch_size", type=int, default=128)
+
+    gt = parser.add_argument_group("Genotype parameters")
+    gt.add_argument("--min_gt_depth", type=int, default=4)
+    gt.add_argument("--homo_thresh", type=float, default=0.8)
+    gt.add_argument("--hete_thresh", type=float, default=0.2)
+
+    hsh = parser.add_argument_group("Hash table parameters")
+    hsh.add_argument("--k_size", type=int, default=10)
+    hsh.add_argument("--min_accept", type=int, default=50)
+    hsh.add_argument("--max_hash_len", type=int, default=1000)
+
+    ns = parser.parse_args(arguments)
+    return Options(**vars(ns)).normalized()
+
+
+def build_task_list(bam: BamReader, ref: FastaFile, options: Options
+                    ) -> Dict[str, List[Tuple[int, int]]]:
+    """Genomic window task list (SVision:159-242, incl. the region-mode
+    window-offset quirk: windows are relative to 0, not the region start)."""
+    window_size = options.window_size
+    tasks: Dict[str, List[Tuple[int, int]]] = {}
+    all_possible_chrs = ref.references
+
+    if options.chrom is None:
+        for chrom, mapped, _unmapped in bam.get_index_statistics():
+            if chrom not in all_possible_chrs:
+                continue
+            local_len = bam.get_reference_length(chrom)
+            if options.contig:
+                window_size = local_len
+            if local_len < window_size:
+                tasks.setdefault(chrom, []).append((0, local_len))
+            else:
+                pos = 0
+                for _ in range(int(local_len / window_size)):
+                    tasks.setdefault(chrom, []).append((pos, pos + window_size))
+                    pos += window_size
+                if pos < local_len:
+                    tasks.setdefault(chrom, []).append((pos, local_len))
+    else:
+        chrom = options.chrom
+        if chrom in all_possible_chrs:
+            start, end = 0, bam.get_reference_length(chrom)
+        else:
+            name, cords = chrom.split(":")
+            chrom = name
+            start, end = int(cords.split("-")[0]), int(cords.split("-")[1])
+        tasks[chrom] = []
+        region_length = end - start + 1
+        if region_length < window_size:
+            tasks[chrom].append((start, end))
+        else:
+            pos = 0
+            for _ in range(int(region_length / window_size)):
+                tasks[chrom].append((pos, pos + window_size))
+                pos += window_size
+            if pos < region_length:
+                tasks[chrom].append((pos, region_length))
+    return tasks
+
+
+def _collect_worker(args):
+    options, bam_path, chrom, part, start, end = args
+    return run_detect(options, bam_path, chrom, part, start, end)
+
+
+def run_pipeline(options: Options) -> str:
+    """Full pipeline; returns the path of the final VCF."""
+    from svision_tpu.models.checkpoint import load_params
+    from svision_tpu.infer.engine import InferenceEngine, predict_chromosome
+    from svision_tpu.call.vcfout import cal_scores_max_min, merge_split_vcfs
+
+    work_dir = options.out_path
+    os.makedirs(work_dir, exist_ok=True)
+
+    log_path = os.path.join(
+        work_dir, "SVision_{}.log".format(strftime("%y%m%d_%H%M%S", localtime())))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s [%(levelname)-7.7s]  %(message)s",
+        handlers=[logging.FileHandler(log_path, mode="w"),
+                  logging.StreamHandler()])
+    logging.info("**** Start svision-tpu, version %s (SVision v%s parity) ****",
+                 __version__, REFERENCE_VERSION)
+    logging.info("CMD: %s", " ".join(sys.argv))
+
+    bam = BamReader(options.bam_path)
+    ref = FastaFile(options.genome)
+
+    if bam.header.get("HD", {}).get("SO") != "coordinate":
+        logging.error("This is not a coordinate sorted BAM file")
+        raise SystemExit(1)
+    if not bam.has_index():
+        logging.warning("Input BAM file is missing a valid index; window fetch"
+                        " falls back to full scans (slow).")
+
+    tasks = build_task_list(bam, ref, options)
+    if not tasks:
+        logging.error("No mapped reads in the BAM, please check your "
+                      "reference input!")
+        raise SystemExit(1)
+
+    predict_results_dir = os.path.join(work_dir, "predict_results")
+    os.makedirs(predict_results_dir, exist_ok=True)
+    if options.graph:
+        os.makedirs(os.path.join(work_dir, "graphs"), exist_ok=True)
+
+    start_time = datetime.datetime.now()
+    logging.info("**** Step1 Image coding and segmentation ****")
+
+    jobs = []
+    for chrom, task_list in tasks.items():
+        for part, (task_start, task_end) in enumerate(task_list):
+            jobs.append((options, options.bam_path, chrom, part,
+                         task_start, task_end))
+
+    results: List[WindowResult] = []
+    if options.thread_num > 1:
+        with concurrent.futures.ProcessPoolExecutor(
+                max_workers=options.thread_num) as pool:
+            results = list(pool.map(_collect_worker, jobs))
+    else:
+        shared_bam = bam
+        shared_ref = ref
+        for (_opts, bam_path, chrom, part, s, e) in jobs:
+            results.append(run_detect(options, bam_path, chrom, part, s, e,
+                                      bam=shared_bam, ref=shared_ref))
+
+    failures = [r for r in results if r.error]
+    for r in failures:
+        logging.error("window %s part %s failed: %s", r.chrom, r.part, r.error)
+
+    # group candidates per chromosome in part order (the reference's
+    # bed-concat, SVision:283-290)
+    by_chrom: Dict[str, List] = {c: [] for c in tasks}
+    for res in sorted(results, key=lambda r: (list(tasks).index(r.chrom), r.part)):
+        by_chrom[res.chrom].extend(res.candidates)
+
+    if options.debug:
+        dump_bed(results, os.path.join(work_dir, "segments"))
+
+    t_collect = datetime.datetime.now()
+    logging.info("[Coding finished]: Collect segment signatures, Cost time: %s",
+                 (t_collect - start_time).seconds)
+
+    from svision_tpu.utils.metrics import Metrics
+    metrics = Metrics()
+    metrics.timers["collect"] = (t_collect - start_time).total_seconds()
+    metrics.count("windows", len(results))
+    metrics.count("windows_failed", len(failures))
+    metrics.count("signatures", sum(r.n_signatures for r in results))
+    metrics.count("clusters", sum(r.n_clusters for r in results))
+    metrics.count("candidates", sum(len(r.candidates) for r in results))
+
+    logging.info("**** Step2 CNN prediction ****")
+    params = load_params(options.model_path)
+    engine = InferenceEngine(params, batch_size=options.batch_size,
+                             bf16=options.bf16)
+    with metrics.timer("predict"):
+        for chrom in tasks:
+            out_prefix = os.path.join(predict_results_dir,
+                                      f"{chrom}.predict.s{options.min_support}")
+            predict_chromosome(by_chrom[chrom], engine, out_prefix, bam, options)
+            metrics.count("images", len(by_chrom[chrom]))
+
+    t_predict = datetime.datetime.now()
+    logging.info("[Prediction finished]: Predicting types, Cost time: %s",
+                 (t_predict - t_collect).seconds)
+    metrics.count("images_per_s", metrics.rate("images", "predict"))
+    logging.info("%s", metrics.summary())
+
+    all_scores = cal_scores_max_min(predict_results_dir)
+    if not all_scores:
+        print("Empty output in the score file!!! Program exit")
+        raise SystemExit(1)
+    max_score, min_score = np.max(all_scores), np.min(all_scores)
+    merged_vcf_path = os.path.join(
+        work_dir, f"{options.sample}.svision.s{options.min_support}.vcf")
+    merge_split_vcfs(predict_results_dir, merged_vcf_path, max_score,
+                     min_score, list(tasks.keys()), ref, options)
+    final_vcf = merged_vcf_path
+
+    if options.graph:
+        from svision_tpu.collect.graph import collect_csv_same_format
+        logging.info("**** Step3 Computing graphs ****")
+        graph_out_path = os.path.join(work_dir, "graphs")
+        collect_csv_same_format(graph_out_path, merged_vcf_path, options)
+        for entry in os.listdir(graph_out_path):
+            full = os.path.join(graph_out_path, entry)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+        os.remove(merged_vcf_path)
+        final_vcf = os.path.join(
+            work_dir, f"{options.sample}.svision.s{options.min_support}.graph.vcf")
+
+    if not options.debug:
+        shutil.rmtree(predict_results_dir, ignore_errors=True)
+
+    t_final = datetime.datetime.now()
+    logging.info("[All steps finished] Total Cost time: %ss",
+                 (t_final - start_time).seconds)
+    return final_vcf
+
+
+def main(argv=None):
+    options = parse_arguments(argv)
+    run_pipeline(options)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Per-(chrom, window) collection worker.
+
+Port of run_collection.run_detect (run_collection.py:15-47): fetch reads,
+extract signatures, cluster, emit candidates. Returns the candidate table
+in-memory (the reference's bed file IPC becomes an optional --debug dump);
+errors are reported explicitly instead of silently swallowed
+(SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import logging
+import os
+import traceback
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from svision_tpu.collect.candidates import Candidate, clusters_to_candidates
+from svision_tpu.collect.cluster import partition_and_cluster
+from svision_tpu.collect.signatures import analyze_alignments
+from svision_tpu.io.bam import BamReader
+from svision_tpu.io.fasta import FastaFile
+
+
+@dataclass
+class WindowResult:
+    chrom: str
+    part: int
+    candidates: List[Candidate] = field(default_factory=list)
+    n_signatures: int = 0
+    n_clusters: int = 0
+    n_reads: int = 0
+    error: Optional[str] = None
+
+
+def run_detect(options, bam_path: str, chrom: str, part: int, start: int,
+               end: int, bam: Optional[BamReader] = None,
+               ref: Optional[FastaFile] = None) -> WindowResult:
+    """Collect one window. Opens its own handles when none are passed
+    (process-pool mode)."""
+    result = WindowResult(chrom=chrom, part=part)
+    try:
+        own_bam = bam is None
+        if bam is None:
+            bam = BamReader(bam_path)
+        if ref is None:
+            ref = FastaFile(options.genome)
+
+        aligns = bam.fetch(chrom, start, end)
+        sigs = analyze_alignments(aligns, options, ref)
+        result.n_signatures = len(sigs)
+        logging.info("Processing %s:%s-%s, %s signatures", chrom, start, end,
+                     len(sigs))
+
+        clusters = partition_and_cluster(
+            sigs, chrom, bam.count_overlapping, options,
+            logger=logging.getLogger())
+        result.n_clusters = len(clusters)
+
+        graph_writer = None
+        if options.graph:
+            graph_out = os.path.join(options.out_path, "graphs")
+
+            def graph_writer(cluster):
+                from svision_tpu.collect.graph import write_graph_to_file
+                cluster_dir = os.path.join(
+                    graph_out, "{0}-{1}-{2}".format(
+                        cluster.contig, int(cluster.cstart), int(cluster.cend)))
+                os.makedirs(cluster_dir, exist_ok=True)
+                for sig in cluster.get_signatures():
+                    if sig.graph is None:
+                        continue
+                    out_file = os.path.join(
+                        cluster_dir,
+                        "{}.gfa".format(sig.graph.qname.replace("/", "_")))
+                    write_graph_to_file(sig.graph, out_file)
+
+        result.candidates = clusters_to_candidates(clusters, options,
+                                                   graph_writer=graph_writer)
+        if own_bam:
+            bam.close()
+        return result
+    except Exception as exc:  # explicit per-shard status (vs reference's
+        # silent swallow, SVision:273-281)
+        result.error = f"{exc!r} at {traceback.format_exc(limit=5)}"
+        return result
+
+
+def dump_bed(results: List[WindowResult], out_dir: str) -> None:
+    """--debug: write per-part bed files byte-compatible with the reference's
+    {chr}.segments.{part}.bed (output_clusters.py:83-89)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for res in results:
+        path = os.path.join(out_dir, f"{res.chrom}.segments.{res.part}.bed")
+        with open(path, "w") as fh:
+            for cand in res.candidates:
+                fh.write(cand.to_bed_line())

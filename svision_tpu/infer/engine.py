@@ -1,0 +1,139 @@
+"""Device inference pipeline + per-chromosome prediction driver.
+
+The reference rasterizes candidates one-by-one with OpenCV on the host and
+feeds a TF1 session per batch (predict.py:148-300, create_batch.py:88-155).
+Here the whole hot path — segment-pair endpoints -> similarity images -> CNN
+-> (argmax, softmax) — is ONE jitted XLA program per batch: rasterization
+happens as MXU matmuls (ops/rasterize.py) fused with the convolutions, and
+only two tiny vectors come back to the host.
+
+The host-side decode state machine (region flushes, per-read type maps, the
+forward-INV drop) is a behavioral port of Predict.run (predict.py:206-300)
+over the structured Candidate table instead of the reference's
+'svision'-joined label strings.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from svision_tpu.collect.candidates import Candidate, candidates_to_specs
+from svision_tpu.infer.aggregate import get_region_potential_svtypes
+from svision_tpu.call.vcfout import write_results_to_vcf
+from svision_tpu.models import alexnet
+from svision_tpu.ops import rasterize
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _device_step(params, endpoints, visible, reverse,
+                 compute_dtype=jnp.bfloat16):
+    """endpoints [B,S,4] -> (argmax [B], selected softmax [B])."""
+    images = rasterize.render_images(endpoints, visible, reverse,
+                                     dtype=jnp.float32)
+    logits = alexnet.forward(params, images, compute_dtype=compute_dtype)
+    pred = jnp.argmax(logits, axis=1)
+    soft = jax.nn.softmax(logits, axis=1)
+    return pred, jnp.take_along_axis(soft, pred[:, None], axis=1)[:, 0]
+
+
+class InferenceEngine:
+    """Batched encoder+CNN forward with static batch shape (one compile)."""
+
+    def __init__(self, params, batch_size: int = 128, bf16: bool = True):
+        self.params = jax.tree_util.tree_map(jnp.asarray, params)
+        self.batch_size = batch_size
+        self.compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
+
+    def predict_specs(self, specs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """specs [N,12] -> (pred_ids [N], softmax_sel [N]); N arbitrary."""
+        n = specs.shape[0]
+        if n == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        bs = self.batch_size
+        pad = (-n) % bs
+        if pad:
+            # reference sentinel spec (create_batch.py:55)
+            sentinel = np.array([[0, 1, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2]],
+                                dtype=np.int64)
+            specs = np.concatenate([specs, np.repeat(sentinel, pad, 0)], 0)
+        ep, vis, rev = rasterize.specs_to_endpoints(specs)
+        preds, softs = [], []
+        for i in range(0, specs.shape[0], bs):
+            p, s = _device_step(self.params,
+                                jnp.asarray(ep[i:i + bs]),
+                                jnp.asarray(vis[i:i + bs]),
+                                jnp.asarray(rev[i:i + bs]),
+                                compute_dtype=self.compute_dtype)
+            preds.append(np.asarray(p))
+            softs.append(np.asarray(s))
+        return np.concatenate(preds)[:n], np.concatenate(softs)[:n]
+
+
+def predict_chromosome(candidates: List[Candidate], engine: InferenceEngine,
+                       out_prefix: str, bam, options) -> None:
+    """Predict + aggregate + write one chromosome's VCF fragment
+    (Predict.run port, predict.py:148-300). Writes {out_prefix}.vcf and
+    {out_prefix}.score.txt."""
+    specs = candidates_to_specs(candidates)
+    preds, softs = engine.predict_specs(specs)
+
+    with open(out_prefix + ".vcf", "w") as vcf_out, \
+            open(out_prefix + ".score.txt", "w") as score_out:
+
+        reads_dict: Dict[str, Dict[int, List[int]]] = {}
+        read_num_name_pair: Dict[str, str] = {}
+        sig_score_pair: Dict[str, str] = {}
+        sig_mechanisms_pair: Dict[str, str] = {}
+        sig_types: List[str] = []
+        predict_scores: List[float] = []
+        last_region = ""
+
+        def flush():
+            sv_stats = get_region_potential_svtypes(reads_dict)
+            write_results_to_vcf(vcf_out, score_out, sv_stats, last_region,
+                                 read_num_name_pair, sig_types, sig_score_pair,
+                                 predict_scores, sig_mechanisms_pair, bam,
+                                 options)
+
+        for i, cand in enumerate(candidates):
+            pred = int(preds[i])
+            read_num = cand.sig_id
+            region = cand.region
+
+            # forward pairs cannot be INV (predict.py:229-232)
+            if cand.pair_forward == "True" and pred == 2:
+                continue
+
+            if region != last_region:
+                if last_region != "":
+                    flush()
+                last_region = region
+                reads_dict = {}
+                read_num_name_pair = {}
+                sig_score_pair = {}
+                sig_types = []
+                predict_scores = []
+                sig_mechanisms_pair = {}
+
+            key = read_num.replace("m", "")
+            read_num_name_pair[key] = cand.qname
+            sig_types.append(cand.sig_type)
+            predict_scores.append(round(float(softs[i]), 2))
+            sig_score_pair[key] = str(cand.score)
+            sig_mechanisms_pair[key] = cand.mechanism
+
+            bkp = [cand.bkp_start, cand.bkp_end, cand.bkp_len]
+            if "m" not in read_num:
+                # main-x-other pairs cannot claim DEL/INS (predict.py:278-286)
+                if pred in (0, 1):
+                    continue
+                reads_dict.setdefault(read_num, {})[pred] = bkp
+            else:
+                reads_dict.setdefault(key, {})[pred] = bkp
+
+        flush()

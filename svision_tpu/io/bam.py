@@ -1,0 +1,368 @@
+"""BAM reader with BAI random access — the engine's htslib replacement.
+
+Decodes BAM records into `svision_tpu.collect.records.Aln` views (hard clips
+rewritten to soft, matching the reference's create_align,
+collect_signatures.py:91). Region fetch uses the BAI binning + linear index
+with htslib overlap semantics (pos < end and endpos > start; endpos = pos+1
+for zero-ref-span records).
+
+A compiled fast path (io/native/libsvio.so, ctypes) decodes whole windows into
+structure-of-arrays when available; this module is the always-available
+reference path and the fallback.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from svision_tpu.collect.records import Aln
+from svision_tpu.io.bgzf import BgzfReader
+
+SEQ_NT = "=ACMGRSVTWYHKDBN"
+CIGAR_OPS = "MIDNSHP=X"
+_REF_CONSUME = (1, 0, 1, 1, 0, 0, 0, 1, 1)  # per numeric op MIDNSHP=X
+
+
+def reg2bins(beg: int, end: int) -> List[int]:
+    """All index bins overlapping [beg, end) (SAM spec, 5-level 512Mb)."""
+    bins = [0]
+    end -= 1
+    for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
+    return bins
+
+
+class BamRecordRaw:
+    """Lazily-decoded BAM record (raw buffer + header-parsed fixed fields)."""
+
+    __slots__ = ("buf", "refid", "pos", "mapq", "flag", "n_cigar", "l_seq",
+                 "l_read_name", "bin")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        (self.refid, self.pos, self.l_read_name, self.mapq, self.bin,
+         self.n_cigar, self.flag, self.l_seq) = struct.unpack_from(
+             "<iiBBHHHi", buf, 0)
+
+    @property
+    def qname(self) -> str:
+        return self.buf[32:32 + self.l_read_name - 1].decode("ascii")
+
+    def cigar_raw(self) -> List[Tuple[int, int]]:
+        off = 32 + self.l_read_name
+        out = []
+        for v in struct.unpack_from(f"<{self.n_cigar}I", self.buf, off):
+            out.append((v & 0xF, v >> 4))
+        return out
+
+    def ref_span(self) -> int:
+        return sum(ln for op, ln in self.cigar_raw() if _REF_CONSUME[op])
+
+    def end_pos(self) -> int:
+        span = self.ref_span()
+        return self.pos + (span if span > 0 else 1)
+
+    def seq(self) -> Optional[str]:
+        if self.l_seq == 0:
+            return None
+        off = 32 + self.l_read_name + 4 * self.n_cigar
+        packed = self.buf[off:off + (self.l_seq + 1) // 2]
+        chars = []
+        for b in packed:
+            chars.append(SEQ_NT[b >> 4])
+            chars.append(SEQ_NT[b & 0xF])
+        return "".join(chars[:self.l_seq])
+
+    def to_aln(self, reference_name: str) -> Aln:
+        cigar = [("S" if CIGAR_OPS[op] == "H" else CIGAR_OPS[op], ln)
+                 for op, ln in self.cigar_raw()]
+        return Aln(
+            query_name=self.qname,
+            reference_name=reference_name,
+            reference_id=self.refid,
+            reference_start=self.pos,
+            flag=self.flag,
+            mapping_quality=self.mapq,
+            cigar=cigar,
+            query_sequence=self.seq(),
+        )
+
+
+class BamReader:
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path, "rb")
+        self._bgzf = BgzfReader(self._fh)
+        magic = self._bgzf.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack("<i", self._bgzf.read(4))[0]
+        self.header_text = self._bgzf.read(l_text).decode("ascii", "replace")
+        n_ref = struct.unpack("<i", self._bgzf.read(4))[0]
+        self.references: List[str] = []
+        self.lengths: List[int] = []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", self._bgzf.read(4))[0]
+            name = self._bgzf.read(l_name)[:-1].decode("ascii")
+            l_ref = struct.unpack("<i", self._bgzf.read(4))[0]
+            self.references.append(name)
+            self.lengths.append(l_ref)
+        self._body_voffset = self._bgzf.tell_virtual()
+        self._index = None
+        self._tid: Dict[str, int] = {n: i for i, n in enumerate(self.references)}
+
+    # -- header helpers ------------------------------------------------------
+    @property
+    def header(self) -> Dict:
+        """Parsed @HD/@SQ lines ({'HD': {...}, ...}), pysam-header-like."""
+        out: Dict = {}
+        for line in self.header_text.splitlines():
+            if line.startswith("@HD"):
+                out["HD"] = dict(f.split(":", 1) for f in line.split("\t")[1:]
+                                 if ":" in f)
+        return out
+
+    def get_tid(self, name: str) -> int:
+        return self._tid.get(name, -1)
+
+    def get_reference_length(self, name: str) -> int:
+        return self.lengths[self._tid[name]]
+
+    # -- index ---------------------------------------------------------------
+    def _load_index(self):
+        if self._index is not None:
+            return self._index
+        for cand in (self.path + ".bai", os.path.splitext(self.path)[0] + ".bai"):
+            if os.path.exists(cand):
+                self._index = _read_bai(cand)
+                return self._index
+        self._index = False
+        return self._index
+
+    def has_index(self) -> bool:
+        return bool(self._load_index())
+
+    def check_index(self) -> bool:
+        if not self.has_index():
+            raise ValueError("missing index")
+        return True
+
+    def get_index_statistics(self):
+        """[(name, mapped, unmapped)] from BAI pseudo-bins; refs with any index
+        bins but no pseudo-bin report mapped=-1 (present but uncounted)."""
+        idx = self._load_index()
+        out = []
+        if not idx:
+            return out
+        bins_per_ref, _, stats = idx
+        for i, name in enumerate(self.references):
+            if stats[i] is not None:
+                out.append((name, stats[i][0], stats[i][1]))
+            elif bins_per_ref[i]:
+                out.append((name, -1, -1))
+        return out
+
+    # -- record iteration ----------------------------------------------------
+    def _read_record(self) -> Optional[BamRecordRaw]:
+        szb = self._bgzf.read(4)
+        if len(szb) < 4:
+            return None
+        size = struct.unpack("<i", szb)[0]
+        buf = self._bgzf.read(size)
+        if len(buf) < size:
+            return None
+        return BamRecordRaw(buf)
+
+    def __iter__(self) -> Iterator[BamRecordRaw]:
+        self._bgzf.seek_virtual(self._body_voffset)
+        while True:
+            rec = self._read_record()
+            if rec is None:
+                return
+            yield rec
+
+    def fetch_raw(self, contig: str, start: int = 0, stop: int = None
+                  ) -> Iterator[BamRecordRaw]:
+        """Raw records overlapping [start, stop) on contig."""
+        tid = self._tid[contig]
+        if stop is None:
+            stop = self.lengths[tid]
+        start, stop = int(start), int(stop)
+        idx = self._load_index()
+        if idx:
+            yield from self._fetch_indexed(tid, start, stop, idx)
+        else:
+            for rec in self:
+                if rec.refid != tid:
+                    continue
+                if rec.pos >= stop:
+                    continue
+                if rec.end_pos() <= start:
+                    continue
+                yield rec
+
+    def _chunks_for(self, tid: int, start: int, stop: int, idx
+                    ) -> List[Tuple[int, int]]:
+        bins_per_ref, linear_per_ref, _ = idx
+        bins = bins_per_ref[tid]
+        linear = linear_per_ref[tid]
+        min_off = 0
+        win = start >> 14
+        if linear:
+            if win >= len(linear):
+                win = len(linear) - 1
+            min_off = linear[win] if win >= 0 else 0
+        chunks = []
+        for b in reg2bins(start, stop):
+            for beg, end in bins.get(b, ()):
+                if end > min_off:
+                    chunks.append((max(beg, min_off), end))
+        chunks.sort()
+        merged: List[Tuple[int, int]] = []
+        for beg, end in chunks:
+            if merged and beg <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], end))
+            else:
+                merged.append((beg, end))
+        return merged
+
+    def _fetch_indexed(self, tid, start, stop, idx):
+        for beg, end in self._chunks_for(tid, start, stop, idx):
+            self._bgzf.seek_virtual(beg)
+            while self._bgzf.tell_virtual() < end:
+                rec = self._read_record()
+                if rec is None:
+                    break
+                if rec.refid != tid or rec.pos >= stop:
+                    break
+                if rec.end_pos() <= start:
+                    continue
+                yield rec
+
+    # -- native fast path ------------------------------------------------
+    def _native_args(self, contig: str, start: int, stop: int):
+        from svision_tpu.io import native_io
+        if not native_io.available():
+            return None
+        tid = self._tid[contig]
+        if stop is None:
+            stop = self.lengths[tid]
+        idx = self._load_index()
+        if idx:
+            chunks = self._chunks_for(tid, int(start), int(stop), idx)
+            if not chunks:
+                return native_io, [], tid, int(start), int(stop), 0, True
+            voffset0 = 0
+        else:
+            chunks = []
+            voffset0 = self._body_voffset
+        return native_io, chunks, tid, int(start), int(stop), voffset0, False
+
+    def fetch_batch(self, contig: str, start: int = 0, stop: int = None,
+                    decode_seq: bool = True):
+        """Native structure-of-arrays fetch (None if lib unavailable)."""
+        args = self._native_args(contig, start, stop)
+        if args is None:
+            return None
+        native_io, chunks, tid, start, stop, voffset0, empty = args
+        if empty:
+            batch = native_io.NativeBatch()
+            batch.n = 0
+            return batch
+        return native_io.fetch(self.path, chunks, tid, start, stop,
+                               count_only=False, decode_seq=decode_seq,
+                               voffset0=voffset0)
+
+    def fetch(self, contig: str, start: int = 0, stop: int = None
+              ) -> Iterator[Aln]:
+        name_cache = self.references
+        batch = self.fetch_batch(contig, start, stop)
+        if batch is not None:
+            yield from _batch_to_alns(batch, name_cache)
+            return
+        for rec in self.fetch_raw(contig, start, stop):
+            ref_name = name_cache[rec.refid] if rec.refid >= 0 else "*"
+            yield rec.to_aln(ref_name)
+
+    def count_overlapping(self, contig: str, start: int, stop: int) -> int:
+        """len(list(fetch(...))) without decoding — Cluster coverage counting
+        (classes.py:165-170 semantics)."""
+        args = self._native_args(contig, start, stop)
+        if args is not None:
+            native_io, chunks, tid, start, stop, voffset0, empty = args
+            if empty:
+                return 0
+            return native_io.fetch(self.path, chunks, tid, start, stop,
+                                   count_only=True, voffset0=voffset0)
+        return sum(1 for _ in self.fetch_raw(contig, start, stop))
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _batch_to_alns(batch, names: List[str]) -> Iterator[Aln]:
+    """Native SoA batch -> Aln views (H->S rewrite applied)."""
+    for i in range(batch.n):
+        ops = batch.cigar_ops(i)
+        cigar = []
+        for v in ops:
+            op = CIGAR_OPS[int(v) & 0xF]
+            cigar.append(("S" if op == "H" else op, int(v) >> 4))
+        refid = int(batch.refid[i])
+        yield Aln(
+            query_name=batch.qname(i),
+            reference_name=names[refid] if refid >= 0 else "*",
+            reference_id=refid,
+            reference_start=int(batch.pos[i]),
+            flag=int(batch.flag[i]),
+            mapping_quality=int(batch.mapq[i]),
+            cigar=cigar,
+            query_sequence=batch.seq(i),
+        )
+
+
+def _read_bai(path: str):
+    """Parse a BAI file -> (bins_per_ref, linear_per_ref, stats_per_ref)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"BAI\x01":
+        raise ValueError(f"{path}: not a BAI index")
+    off = 4
+    n_ref = struct.unpack_from("<i", data, off)[0]
+    off += 4
+    bins_per_ref = []
+    linear_per_ref = []
+    stats_per_ref = []
+    for _ in range(n_ref):
+        n_bin = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        bins: Dict[int, List[Tuple[int, int]]] = {}
+        stats = None
+        for _ in range(n_bin):
+            bin_no, n_chunk = struct.unpack_from("<Ii", data, off)
+            off += 8
+            chunks = []
+            for _ in range(n_chunk):
+                beg, end = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((beg, end))
+            if bin_no == 37450 and len(chunks) == 2:  # pseudo-bin metadata
+                stats = (chunks[1][0], chunks[1][1])  # mapped, unmapped
+            else:
+                bins[bin_no] = chunks
+        n_intv = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        linear = list(struct.unpack_from(f"<{n_intv}Q", data, off))
+        off += 8 * n_intv
+        bins_per_ref.append(bins)
+        linear_per_ref.append(linear)
+        stats_per_ref.append(stats)
+    return bins_per_ref, linear_per_ref, stats_per_ref

@@ -1,0 +1,180 @@
+"""BAM + BAI writer (test fixtures, synthetic benchmarks, round-trip checks).
+
+Produces coordinate-sorted BAM files with a standard binning/linear BAI index
+including pseudo-bin mapped/unmapped counts, so BamReader.get_index_statistics
+and region fetch behave like htslib on real data.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from svision_tpu.io.bgzf import BgzfWriter
+from svision_tpu.io.bam import CIGAR_OPS, SEQ_NT
+
+_NT_CODE = {c: i for i, c in enumerate(SEQ_NT)}
+_OP_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
+_REF_CONSUME = frozenset("MDN=X")
+
+
+@dataclass
+class SamRecord:
+    qname: str
+    flag: int
+    ref_name: str        # '*' for unmapped
+    pos: int             # 0-based
+    mapq: int
+    cigar: str           # SAM cigar string or '*'
+    seq: Optional[str] = None
+    tags: bytes = b""
+
+    def ref_span(self) -> int:
+        span = 0
+        num = 0
+        for ch in self.cigar if self.cigar != "*" else "":
+            if ch.isdigit():
+                num = num * 10 + ord(ch) - 48
+            else:
+                if ch in _REF_CONSUME:
+                    span += num
+                num = 0
+        return span
+
+    def end_pos(self) -> int:
+        span = self.ref_span()
+        return self.pos + (span if span > 0 else 1)
+
+
+def _reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _encode_record(rec: SamRecord, tid: int) -> bytes:
+    name = rec.qname.encode("ascii") + b"\x00"
+    cigar_ops: List[int] = []
+    num = 0
+    for ch in rec.cigar if rec.cigar != "*" else "":
+        if ch.isdigit():
+            num = num * 10 + ord(ch) - 48
+        else:
+            cigar_ops.append((num << 4) | _OP_CODE[ch])
+            num = 0
+    seq = rec.seq or ""
+    l_seq = len(seq)
+    packed = bytearray()
+    for i in range(0, l_seq, 2):
+        hi = _NT_CODE.get(seq[i], 15)
+        lo = _NT_CODE.get(seq[i + 1], 15) if i + 1 < l_seq else 0
+        packed.append((hi << 4) | lo)
+    qual = b"\xff" * l_seq  # 0xff = quality absent
+
+    body = struct.pack(
+        "<iiBBHHHiiii",
+        tid, rec.pos, len(name), rec.mapq,
+        _reg2bin(rec.pos, rec.end_pos()), len(cigar_ops), rec.flag, l_seq,
+        -1, -1, 0)
+    body += name
+    body += struct.pack(f"<{len(cigar_ops)}I", *cigar_ops)
+    body += bytes(packed) + qual + rec.tags
+    return struct.pack("<i", len(body)) + body
+
+
+def write_bam(path: str, references: Sequence[Tuple[str, int]],
+              records: List[SamRecord], sort: bool = True,
+              write_index: bool = True) -> None:
+    refs = list(references)
+    tid_of: Dict[str, int] = {name: i for i, (name, _) in enumerate(refs)}
+    recs = list(records)
+    if sort:
+        recs.sort(key=lambda r: (tid_of.get(r.ref_name, 1 << 30), r.pos))
+
+    header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:{name}\tLN:{length}\n" for name, length in refs)
+
+    # per-ref index structures
+    bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in refs]
+    linear: List[Dict[int, int]] = [dict() for _ in refs]
+    mapped = [0] * len(refs)
+    unmapped = [0] * len(refs)
+    ref_first = [None] * len(refs)
+    ref_last = [None] * len(refs)
+
+    with open(path, "wb") as fh:
+        w = BgzfWriter(fh)
+        w.write(b"BAM\x01")
+        text = header_text.encode("ascii")
+        w.write(struct.pack("<i", len(text)) + text)
+        w.write(struct.pack("<i", len(refs)))
+        for name, length in refs:
+            nb = name.encode("ascii") + b"\x00"
+            w.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", length))
+
+        for rec in recs:
+            tid = tid_of.get(rec.ref_name, -1)
+            voff_start = w.tell_virtual()
+            w.write(_encode_record(rec, tid))
+            voff_end = w.tell_virtual()
+            if tid < 0:
+                continue
+            if rec.flag & 0x4:
+                unmapped[tid] += 1
+            else:
+                mapped[tid] += 1
+            b = _reg2bin(rec.pos, rec.end_pos())
+            chunk_list = bins[tid].setdefault(b, [])
+            if chunk_list and chunk_list[-1][1] == voff_start:
+                chunk_list[-1] = (chunk_list[-1][0], voff_end)
+            else:
+                chunk_list.append((voff_start, voff_end))
+            for win in range(rec.pos >> 14, ((max(rec.end_pos(), rec.pos + 1) - 1) >> 14) + 1):
+                if win not in linear[tid] or voff_start < linear[tid][win]:
+                    linear[tid][win] = voff_start
+            if ref_first[tid] is None:
+                ref_first[tid] = voff_start
+            ref_last[tid] = voff_end
+        w.close()
+
+    if not write_index:
+        return
+    with open(path + ".bai", "wb") as fh:
+        fh.write(b"BAI\x01")
+        fh.write(struct.pack("<i", len(refs)))
+        for tid in range(len(refs)):
+            ref_bins = bins[tid]
+            n_bin = len(ref_bins) + (1 if ref_first[tid] is not None else 0)
+            fh.write(struct.pack("<i", n_bin))
+            for bin_no in sorted(ref_bins):
+                chunks = ref_bins[bin_no]
+                fh.write(struct.pack("<Ii", bin_no, len(chunks)))
+                for beg, end in chunks:
+                    fh.write(struct.pack("<QQ", beg, end))
+            if ref_first[tid] is not None:  # pseudo-bin with counts
+                fh.write(struct.pack("<Ii", 37450, 2))
+                fh.write(struct.pack("<QQ", ref_first[tid], ref_last[tid]))
+                fh.write(struct.pack("<QQ", mapped[tid], unmapped[tid]))
+            lin = linear[tid]
+            if lin:
+                n_intv = max(lin) + 1
+                fh.write(struct.pack("<i", n_intv))
+                filled = []
+                prev = 0
+                for i in range(n_intv):
+                    if i in lin:
+                        prev = lin[i]
+                    filled.append(prev)
+                fh.write(struct.pack(f"<{n_intv}Q", *filled))
+            else:
+                fh.write(struct.pack("<i", 0))

@@ -1,0 +1,253 @@
+// svio: native BAM window decoder for svision-tpu.
+//
+// The reference delegates BAM IO to htslib via pysam (run_collection.py:23-26,
+// classes.py:165-170, genotype.py:22-26); svision-tpu has no pysam, and the
+// pure-Python reader (io/bam.py) is the fallback. This library is the
+// production path: BGZF inflate + BAM record scan + region overlap filter,
+// emitting structure-of-arrays batches that Python wraps as numpy views.
+//
+// C ABI only (consumed via ctypes). Chunk lists (BAI virtual offsets) are
+// computed by the Python side; this layer is pure decode bandwidth.
+//
+// Build: make -C svision_tpu/io/native   -> libsvio.so
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+struct BgzfCursor {
+  FILE* fp = nullptr;
+  int64_t block_coffset = -1;   // compressed offset of loaded block
+  int64_t next_coffset = 0;     // compressed offset of the block after it
+  std::vector<uint8_t> block;   // inflated payload
+  size_t within = 0;            // cursor inside block
+
+  bool load_block(int64_t coffset) {
+    if (coffset == block_coffset) return true;
+    if (fseeko(fp, coffset, SEEK_SET) != 0) return false;
+    uint8_t hdr[12];
+    if (fread(hdr, 1, 12, fp) != 12) return false;
+    if (hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
+    uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
+    std::vector<uint8_t> extra(xlen);
+    if (fread(extra.data(), 1, xlen, fp) != xlen) return false;
+    int bsize = -1;
+    for (size_t p = 0; p + 4 <= extra.size();) {
+      uint8_t si1 = extra[p], si2 = extra[p + 1];
+      uint16_t slen = (uint16_t)(extra[p + 2] | (extra[p + 3] << 8));
+      if (si1 == 'B' && si2 == 'C' && slen == 2)
+        bsize = (extra[p + 4] | (extra[p + 5] << 8)) + 1;
+      p += 4 + slen;
+    }
+    if (bsize < 0) return false;
+    int cdata_len = bsize - 12 - xlen - 8;
+    std::vector<uint8_t> cdata(cdata_len);
+    if (fread(cdata.data(), 1, cdata_len, fp) != (size_t)cdata_len) return false;
+    uint8_t tail[8];
+    if (fread(tail, 1, 8, fp) != 8) return false;
+    uint32_t isize;
+    memcpy(&isize, tail + 4, 4);
+
+    block.resize(isize);
+    if (isize > 0) {
+      z_stream zs;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, -15) != Z_OK) return false;
+      zs.next_in = cdata.data();
+      zs.avail_in = cdata_len;
+      zs.next_out = block.data();
+      zs.avail_out = isize;
+      int rc = inflate(&zs, Z_FINISH);
+      inflateEnd(&zs);
+      if (rc != Z_STREAM_END) return false;
+    }
+    block_coffset = coffset;
+    next_coffset = coffset + bsize;
+    within = 0;
+    return true;
+  }
+
+  bool seek_virtual(uint64_t voffset) {
+    if (!load_block((int64_t)(voffset >> 16))) return false;
+    within = voffset & 0xffff;
+    return within <= block.size();
+  }
+
+  uint64_t tell_virtual() const {
+    return ((uint64_t)block_coffset << 16) | (uint64_t)within;
+  }
+
+  // read n bytes; returns bytes actually read (EOF-safe)
+  size_t read(uint8_t* dst, size_t n) {
+    size_t got = 0;
+    while (n > 0) {
+      if (block_coffset < 0 && !load_block(0)) break;
+      size_t avail = block.size() - within;
+      if (avail == 0) {
+        if (!load_block(next_coffset)) break;
+        if (block.empty()) {
+          if (feof(fp)) break;
+          continue;  // empty block mid-file
+        }
+        avail = block.size();
+      }
+      size_t take = avail < n ? avail : n;
+      memcpy(dst + got, block.data() + within, take);
+      within += take;
+      got += take;
+      n -= take;
+    }
+    return got;
+  }
+};
+
+struct Batch {
+  std::vector<int32_t> refid, pos, endpos;
+  std::vector<uint16_t> flag;
+  std::vector<uint8_t> mapq;
+  std::vector<int64_t> qname_off{0}, cigar_off{0}, seq_off{0};
+  std::vector<char> qname_buf;
+  std::vector<uint32_t> cigar_buf;
+  std::vector<char> seq_buf;
+};
+
+const char SEQ_NT[17] = "=ACMGRSVTWYHKDBN";
+// ops that consume reference: M D N = X  (indices 0,2,3,7,8)
+const int REF_CONSUME[9] = {1, 0, 1, 1, 0, 0, 0, 1, 1};
+
+inline int32_t rd_i32(const uint8_t* p) { int32_t v; memcpy(&v, p, 4); return v; }
+inline uint32_t rd_u32(const uint8_t* p) { uint32_t v; memcpy(&v, p, 4); return v; }
+inline uint16_t rd_u16(const uint8_t* p) { uint16_t v; memcpy(&v, p, 2); return v; }
+
+// Parse one record payload into the batch when it overlaps [start,end) on tid.
+// Returns: 0 skipped, 1 kept, 2 past-region (caller may stop on sorted input).
+int parse_record(const uint8_t* buf, int size, int tid, int64_t start,
+                 int64_t end, bool count_only, bool decode_seq, Batch* out) {
+  int32_t refid = rd_i32(buf);
+  int32_t pos = rd_i32(buf + 4);
+  uint8_t l_read_name = buf[8];
+  uint8_t mapq = buf[9];
+  uint16_t n_cigar = rd_u16(buf + 12);
+  uint16_t flag = rd_u16(buf + 14);
+  int32_t l_seq = rd_i32(buf + 16);
+
+  if (tid >= 0) {
+    // coordinate-sorted stream: stop once past the target ref/region;
+    // skip earlier refs (full-scan mode starts at the first record)
+    if (refid < 0 || refid > tid) return 2;
+    if (refid < tid) return 0;
+    if ((int64_t)pos >= end) return 2;
+  }
+  const uint8_t* cig = buf + 32 + l_read_name;
+  int64_t ref_span = 0;
+  for (int i = 0; i < n_cigar; i++) {
+    uint32_t v = rd_u32(cig + 4 * i);
+    if (REF_CONSUME[v & 0xf]) ref_span += v >> 4;
+  }
+  int64_t epos = pos + (ref_span > 0 ? ref_span : 1);
+  if (tid >= 0 && epos <= start) return 0;
+  if (count_only) return 1;
+
+  out->refid.push_back(refid);
+  out->pos.push_back(pos);
+  out->endpos.push_back((int32_t)epos);
+  out->flag.push_back(flag);
+  out->mapq.push_back(mapq);
+
+  out->qname_buf.insert(out->qname_buf.end(), (const char*)(buf + 32),
+                        (const char*)(buf + 32 + l_read_name - 1));
+  out->qname_off.push_back((int64_t)out->qname_buf.size());
+
+  for (int i = 0; i < n_cigar; i++)
+    out->cigar_buf.push_back(rd_u32(cig + 4 * i));
+  out->cigar_off.push_back((int64_t)out->cigar_buf.size());
+
+  if (decode_seq && l_seq > 0) {
+    const uint8_t* sp = cig + 4 * n_cigar;
+    size_t base = out->seq_buf.size();
+    out->seq_buf.resize(base + l_seq);
+    for (int i = 0; i < l_seq; i++) {
+      uint8_t b = sp[i >> 1];
+      out->seq_buf[base + i] = SEQ_NT[(i & 1) ? (b & 0xf) : (b >> 4)];
+    }
+  }
+  out->seq_off.push_back((int64_t)out->seq_buf.size());
+  return 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Opaque result handle + flat views.
+struct SvioResult {
+  Batch batch;
+  int64_t count = 0;
+};
+
+// Fetch records from BAI chunk list (or full scan from voffset0 when
+// n_chunks==0). tid<0 disables region filtering (full-file iteration).
+SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
+                       const uint64_t* chunk_end, int n_chunks,
+                       uint64_t voffset0, int tid, int64_t start, int64_t end,
+                       int count_only, int decode_seq) {
+  FILE* fp = fopen(bam_path, "rb");
+  if (!fp) return nullptr;
+  BgzfCursor cur;
+  cur.fp = fp;
+  SvioResult* res = new SvioResult();
+  std::vector<uint8_t> rec;
+
+  auto scan_range = [&](uint64_t vbeg, uint64_t vend_limit, bool bounded) {
+    if (!cur.seek_virtual(vbeg)) return;
+    uint8_t szb[4];
+    while (true) {
+      if (bounded && cur.tell_virtual() >= vend_limit) break;
+      if (cur.read(szb, 4) != 4) break;
+      int32_t size = rd_i32(szb);
+      if (size <= 0 || size > (1 << 28)) break;
+      rec.resize(size);
+      if (cur.read(rec.data(), size) != (size_t)size) break;
+      int rc = parse_record(rec.data(), size, tid, start, end,
+                            count_only != 0, decode_seq != 0, &res->batch);
+      if (rc == 1) res->count++;
+      else if (rc == 2) break;  // sorted: past the region
+    }
+  };
+
+  if (n_chunks > 0) {
+    for (int c = 0; c < n_chunks; c++)
+      scan_range(chunk_beg[c], chunk_end[c], true);
+  } else {
+    scan_range(voffset0, 0, false);
+  }
+  fclose(fp);
+  return res;
+}
+
+int64_t svio_result_count(SvioResult* r) { return r->count; }
+
+// Array accessors (valid until svio_result_free)
+int32_t* svio_refid(SvioResult* r) { return r->batch.refid.data(); }
+int32_t* svio_pos(SvioResult* r) { return r->batch.pos.data(); }
+int32_t* svio_endpos(SvioResult* r) { return r->batch.endpos.data(); }
+uint16_t* svio_flag(SvioResult* r) { return r->batch.flag.data(); }
+uint8_t* svio_mapq(SvioResult* r) { return r->batch.mapq.data(); }
+int64_t* svio_qname_off(SvioResult* r) { return r->batch.qname_off.data(); }
+char* svio_qname_buf(SvioResult* r) { return r->batch.qname_buf.data(); }
+int64_t svio_qname_buf_len(SvioResult* r) { return (int64_t)r->batch.qname_buf.size(); }
+int64_t* svio_cigar_off(SvioResult* r) { return r->batch.cigar_off.data(); }
+uint32_t* svio_cigar_buf(SvioResult* r) { return r->batch.cigar_buf.data(); }
+int64_t svio_cigar_buf_len(SvioResult* r) { return (int64_t)r->batch.cigar_buf.size(); }
+int64_t* svio_seq_off(SvioResult* r) { return r->batch.seq_off.data(); }
+char* svio_seq_buf(SvioResult* r) { return r->batch.seq_buf.data(); }
+int64_t svio_seq_buf_len(SvioResult* r) { return (int64_t)r->batch.seq_buf.size(); }
+
+void svio_result_free(SvioResult* r) { delete r; }
+
+}  // extern "C"

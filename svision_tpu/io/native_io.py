@@ -1,0 +1,144 @@
+"""ctypes bridge to the native BAM decoder (io/native/libsvio.so).
+
+Falls back gracefully: `available()` is False when the library has not been
+built, and BamReader keeps using the pure-Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsvio.so")
+_lib = None
+_load_failed = False
+
+
+def ensure_built(quiet: bool = True) -> bool:
+    """Build libsvio.so if missing; returns availability."""
+    if os.path.exists(_LIB_PATH):
+        return True
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR],
+                       capture_output=quiet, check=True)
+    except Exception:
+        return False
+    return os.path.exists(_LIB_PATH)
+
+
+def _load():
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _load_failed = True
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.svio_fetch.restype = ctypes.c_void_p
+    lib.svio_fetch.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int]
+    lib.svio_result_count.restype = ctypes.c_int64
+    lib.svio_result_count.argtypes = [ctypes.c_void_p]
+    for name, ctype in [
+            ("svio_refid", ctypes.POINTER(ctypes.c_int32)),
+            ("svio_pos", ctypes.POINTER(ctypes.c_int32)),
+            ("svio_endpos", ctypes.POINTER(ctypes.c_int32)),
+            ("svio_flag", ctypes.POINTER(ctypes.c_uint16)),
+            ("svio_mapq", ctypes.POINTER(ctypes.c_uint8)),
+            ("svio_qname_off", ctypes.POINTER(ctypes.c_int64)),
+            ("svio_qname_buf", ctypes.POINTER(ctypes.c_char)),
+            ("svio_cigar_off", ctypes.POINTER(ctypes.c_int64)),
+            ("svio_cigar_buf", ctypes.POINTER(ctypes.c_uint32)),
+            ("svio_seq_off", ctypes.POINTER(ctypes.c_int64)),
+            ("svio_seq_buf", ctypes.POINTER(ctypes.c_char))]:
+        fn = getattr(lib, name)
+        fn.restype = ctype
+        fn.argtypes = [ctypes.c_void_p]
+    for name in ("svio_qname_buf_len", "svio_cigar_buf_len", "svio_seq_buf_len"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.svio_result_free.restype = None
+    lib.svio_result_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+class NativeBatch:
+    """Python-owned copies of one fetch's structure-of-arrays."""
+
+    __slots__ = ("n", "refid", "pos", "endpos", "flag", "mapq",
+                 "qname_off", "qname_buf", "cigar_off", "cigar_buf",
+                 "seq_off", "seq_buf")
+
+    def qname(self, i: int) -> str:
+        return self.qname_buf[self.qname_off[i]:self.qname_off[i + 1]].decode()
+
+    def cigar_ops(self, i: int) -> np.ndarray:
+        return self.cigar_buf[self.cigar_off[i]:self.cigar_off[i + 1]]
+
+    def seq(self, i: int) -> Optional[str]:
+        lo, hi = self.seq_off[i], self.seq_off[i + 1]
+        if hi == lo:
+            return None
+        return self.seq_buf[lo:hi].decode()
+
+
+def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
+          start: int, end: int, count_only: bool = False,
+          decode_seq: bool = True, voffset0: int = 0):
+    """Run the native fetch; returns record count (count_only) or NativeBatch.
+
+    With an empty chunk list, scans forward from voffset0 (the body start)
+    filtering by region — the no-index fallback."""
+    lib = _load()
+    assert lib is not None
+    n = len(chunks)
+    beg = (ctypes.c_uint64 * n)(*[c[0] for c in chunks]) if n else None
+    endv = (ctypes.c_uint64 * n)(*[c[1] for c in chunks]) if n else None
+    res = lib.svio_fetch(bam_path.encode(), beg, endv, n, voffset0, tid,
+                         start, end, int(count_only), int(decode_seq))
+    if not res:
+        raise OSError(f"svio_fetch failed for {bam_path}")
+    try:
+        count = lib.svio_result_count(res)
+        if count_only:
+            return int(count)
+        b = NativeBatch()
+        b.n = int(count)
+        def arr(fn, length, dtype):
+            if length == 0:
+                return np.zeros(0, dtype)
+            ptr = fn(res)
+            return np.ctypeslib.as_array(
+                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+                shape=(length * np.dtype(dtype).itemsize,)).view(dtype).copy()
+        b.refid = arr(lib.svio_refid, b.n, np.int32)
+        b.pos = arr(lib.svio_pos, b.n, np.int32)
+        b.endpos = arr(lib.svio_endpos, b.n, np.int32)
+        b.flag = arr(lib.svio_flag, b.n, np.uint16)
+        b.mapq = arr(lib.svio_mapq, b.n, np.uint8)
+        b.qname_off = arr(lib.svio_qname_off, b.n + 1, np.int64)
+        b.cigar_off = arr(lib.svio_cigar_off, b.n + 1, np.int64)
+        b.seq_off = arr(lib.svio_seq_off, b.n + 1, np.int64)
+        qlen = lib.svio_qname_buf_len(res)
+        b.qname_buf = ctypes.string_at(lib.svio_qname_buf(res), qlen) if qlen else b""
+        clen = lib.svio_cigar_buf_len(res)
+        b.cigar_buf = arr(lib.svio_cigar_buf, int(clen), np.uint32) if clen else np.zeros(0, np.uint32)
+        slen = lib.svio_seq_buf_len(res)
+        b.seq_buf = ctypes.string_at(lib.svio_seq_buf(res), slen) if slen else b""
+        return b
+    finally:
+        lib.svio_result_free(res)

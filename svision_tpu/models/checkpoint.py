@@ -49,7 +49,9 @@ def save_params(params: Dict[str, np.ndarray], path: str) -> None:
 def load_params(path: str) -> Dict[str, np.ndarray]:
     """Load weights from .npz (native) or TF1 ckpt prefix (converted on the fly,
     then cached as <prefix>.npz next to it when the directory is writable)."""
-    if path.endswith(".npz") and os.path.exists(path):
+    if path.endswith(".npz"):
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"model weights not found: {path}")
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
     npz_cache = path + ".npz"

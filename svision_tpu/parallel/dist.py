@@ -1,0 +1,117 @@
+"""Multi-host orchestration: genomic-shard data parallelism.
+
+The domain's sequence parallelism is genome-axis sharding (SURVEY.md §2.3):
+chromosomes (or (sample, chromosome) pairs in cohort mode) are assigned to
+hosts; each host streams its BAM windows, runs collection + device inference
+for its shard, and writes per-chrom VCF fragments. The single cross-shard
+reduction — QUAL min/max over all raw scores (SVision:330-334) — rides a JAX
+collective when a distributed runtime is up, else the shared-filesystem scan.
+
+Shard assignment is deterministic, so an N-shard run merges to a VCF
+bit-identical to the 1-shard run (tests/test_dist.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """jax.distributed bring-up (no-op when single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def assign_chroms(chroms: Sequence[str], num_shards: int, shard_id: int
+                  ) -> List[str]:
+    """Deterministic chromosome -> shard assignment (round-robin in canonical
+    order). Prediction is chrom-granular in the reference too (SVision:311-323),
+    so this keeps region grouping intact."""
+    return [c for i, c in enumerate(chroms) if i % num_shards == shard_id]
+
+
+def assign_cohort(samples: Sequence[str], chroms: Sequence[str],
+                  num_shards: int, shard_id: int) -> List[Tuple[str, str]]:
+    """Cohort mode: (sample, chrom) pairs round-robined across shards."""
+    pairs = [(s, c) for s in samples for c in chroms]
+    return [p for i, p in enumerate(pairs) if i % num_shards == shard_id]
+
+
+def exchange_score_minmax(local_scores: np.ndarray) -> Tuple[float, float]:
+    """Global (min, max) of QUAL scores across processes.
+
+    Multi-process: all-gather via jax.experimental.multihost_utils over ICI/
+    DCN. Single process: local reduce."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        pad = np.array([np.inf, -np.inf], dtype=np.float64)
+        local = np.concatenate([np.asarray(local_scores, np.float64), pad])
+        # fixed-size summary per host: (min, max)
+        summary = np.array([local.min(), local.max()])
+        gathered = multihost_utils.process_allgather(summary)
+        return float(gathered[:, 0].min()), float(gathered[:, 1].max())
+    if local_scores.size == 0:
+        return float("inf"), float("-inf")
+    return float(np.min(local_scores)), float(np.max(local_scores))
+
+
+def run_shard(options, shard_id: int, num_shards: int) -> List[str]:
+    """Collection + prediction for this shard's chromosomes; returns the
+    chrom list handled. Fragments land in the shared predict_results dir
+    under the same names the merger expects."""
+    from svision_tpu.cli import build_task_list
+    from svision_tpu.collect.window import run_detect
+    from svision_tpu.infer.engine import InferenceEngine, predict_chromosome
+    from svision_tpu.io.bam import BamReader
+    from svision_tpu.io.fasta import FastaFile
+    from svision_tpu.models.checkpoint import load_params
+
+    bam = BamReader(options.bam_path)
+    ref = FastaFile(options.genome)
+    tasks = build_task_list(bam, ref, options)
+    my_chroms = assign_chroms(list(tasks.keys()), num_shards, shard_id)
+
+    predict_dir = os.path.join(options.out_path, "predict_results")
+    os.makedirs(predict_dir, exist_ok=True)
+    if options.graph:
+        os.makedirs(os.path.join(options.out_path, "graphs"), exist_ok=True)
+
+    params = load_params(options.model_path)
+    engine = InferenceEngine(params, batch_size=options.batch_size,
+                             bf16=options.bf16)
+    for chrom in my_chroms:
+        cands = []
+        for part, (s, e) in enumerate(tasks[chrom]):
+            res = run_detect(options, options.bam_path, chrom, part, s, e,
+                             bam=bam, ref=ref)
+            cands.extend(res.candidates)
+        out_prefix = os.path.join(predict_dir,
+                                  f"{chrom}.predict.s{options.min_support}")
+        predict_chromosome(cands, engine, out_prefix, bam, options)
+    return my_chroms
+
+
+def merge_all(options, chrom_order: Sequence[str]) -> str:
+    """Host-0 merge across all shards' fragments (shared filesystem)."""
+    from svision_tpu.call.vcfout import cal_scores_max_min, merge_split_vcfs
+    from svision_tpu.io.fasta import FastaFile
+
+    predict_dir = os.path.join(options.out_path, "predict_results")
+    scores = np.asarray(cal_scores_max_min(predict_dir))
+    mn, mx = exchange_score_minmax(scores)
+    merged = os.path.join(
+        options.out_path,
+        f"{options.sample}.svision.s{options.min_support}.vcf")
+    merge_split_vcfs(predict_dir, merged, mx, mn, list(chrom_order),
+                     FastaFile(options.genome), options)
+    return merged

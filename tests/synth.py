@@ -1,0 +1,93 @@
+"""Synthetic genome/BAM builders for integration tests and benchmarks.
+
+Generates reads that carry real SV signals (CIGAR deletions/insertions,
+split-read inversions/duplications) over a random reference, so the full
+pipeline produces deterministic calls.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Tuple
+
+from svision_tpu.io.bamwrite import SamRecord
+from svision_tpu.io.fasta import write_fasta
+
+
+def make_genome(path: str, chroms: Dict[str, int], seed: int = 0) -> Dict[str, str]:
+    rng = random.Random(seed)
+    seqs = {name: "".join(rng.choice("ACGT") for _ in range(ln))
+            for name, ln in chroms.items()}
+    write_fasta(path, seqs)
+    return seqs
+
+
+def del_read(qname: str, chrom: str, anchor: int, flank: int, dl: int,
+             genome: str) -> List[SamRecord]:
+    """Read spanning a deletion as one alignment with a D op."""
+    seq = genome[anchor:anchor + flank] + genome[anchor + flank + dl:
+                                                 anchor + flank + dl + flank]
+    return [SamRecord(qname, 0, chrom, anchor, 60,
+                      f"{flank}M{dl}D{flank}M", seq)]
+
+
+def ins_read(qname: str, chrom: str, anchor: int, flank: int, il: int,
+             genome: str, rng) -> List[SamRecord]:
+    ins = "".join(rng.choice("ACGT") for _ in range(il))
+    seq = genome[anchor:anchor + flank] + ins + \
+        genome[anchor + flank:anchor + 2 * flank]
+    return [SamRecord(qname, 0, chrom, anchor, 60,
+                      f"{flank}M{il}I{flank}M", seq)]
+
+
+def inv_read(qname: str, chrom: str, anchor: int, flank: int, il: int,
+             genome: str) -> List[SamRecord]:
+    """Split read: fwd flank + reversed middle + fwd flank (3 alignments)."""
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    mid = genome[anchor + flank:anchor + flank + il]
+    mid_rc = "".join(comp[b] for b in reversed(mid))
+    seq = genome[anchor:anchor + flank] + mid_rc + \
+        genome[anchor + flank + il:anchor + 2 * flank + il]
+    total = len(seq)
+    return [
+        SamRecord(qname, 0, chrom, anchor, 60,
+                  f"{flank}M{total - flank}S", seq),
+        SamRecord(qname, 2048 | 16, chrom, anchor + flank, 60,
+                  f"{flank}H{il}M{flank}H", mid),
+        SamRecord(qname, 2048, chrom, anchor + flank + il, 60,
+                  f"{flank + il}H{flank}M", seq[flank + il:]),
+    ]
+
+
+def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
+                support: int = 8,
+                events: List[Tuple[str, str, int, int]] = None) -> List[Tuple]:
+    """events: [(kind, chrom, anchor, size)]; returns the event list used."""
+    rng = random.Random(seed)
+    chrom = list(genome_seq)[0]
+    g = genome_seq[chrom]
+    if events is None:
+        events = [("DEL", chrom, 20000, 300),
+                  ("INS", chrom, 60000, 220),
+                  ("DEL", chrom, 100000, 500)]
+    records: List[SamRecord] = []
+    flank = 2000
+    for ei, (kind, ch, anchor, size) in enumerate(events):
+        for s in range(support):
+            q = f"sv{ei}_{s}"
+            jitter = rng.randint(-12, 12)
+            a = anchor + jitter
+            if kind == "DEL":
+                records += del_read(q, ch, a, flank, size, genome_seq[ch])
+            elif kind == "INS":
+                records += ins_read(q, ch, a, flank, size, genome_seq[ch], rng)
+            elif kind == "INV":
+                records += inv_read(q, ch, a, flank, size, genome_seq[ch])
+    # background coverage: clean reads across the chrom
+    for i in range(0, len(g) - 6000, 2500):
+        for k in range(3):
+            records.append(SamRecord(f"bg{i}_{k}", 0, chrom, i + k * 311, 60,
+                                     "5000M", g[i + k * 311:i + k * 311 + 5000]))
+    from svision_tpu.io.bamwrite import write_bam
+    write_bam(bam_path, [(c, len(s)) for c, s in genome_seq.items()], records)
+    return events

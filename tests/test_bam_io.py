@@ -1,0 +1,163 @@
+"""BAM/BGZF/BAI round-trip and fetch-semantics tests (SURVEY.md §4(3))."""
+import random
+
+import numpy as np
+import pytest
+
+from svision_tpu.io.bam import BamReader, reg2bins
+from svision_tpu.io.bamwrite import SamRecord, write_bam
+from svision_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+
+def test_bgzf_roundtrip(tmp_path):
+    payload = bytes(random.Random(0).randrange(256) for _ in range(300000))
+    p = tmp_path / "x.bgzf"
+    with open(p, "wb") as fh:
+        w = BgzfWriter(fh)
+        for i in range(0, len(payload), 7777):
+            w.write(payload[i:i + 7777])
+        w.close()
+    with open(p, "rb") as fh:
+        r = BgzfReader(fh)
+        assert r.read(len(payload) + 100) == payload
+
+
+def _mk_reads(rng, n, ref_len=1000000):
+    recs = []
+    for i in range(n):
+        pos = rng.randrange(0, ref_len - 5000)
+        m = rng.randrange(100, 2000)
+        seq = "".join(rng.choice("ACGT") for _ in range(m))
+        flag = rng.choice([0, 16, 2048, 0, 0])
+        recs.append(SamRecord(f"r{i}", flag, "chr1", pos, 60, f"{m}M", seq))
+    return recs
+
+
+def test_bam_roundtrip_and_fetch(tmp_path):
+    rng = random.Random(1)
+    recs = _mk_reads(rng, 300)
+    p = str(tmp_path / "t.bam")
+    write_bam(p, [("chr1", 1000000), ("chr2", 500)], recs)
+
+    with BamReader(p) as bam:
+        assert bam.references == ["chr1", "chr2"]
+        assert bam.lengths == [1000000, 500]
+        assert bam.header["HD"]["SO"] == "coordinate"
+        assert bam.has_index()
+
+        allrecs = list(bam.fetch("chr1", 0, 1000000))
+        assert len(allrecs) == 300
+        # coordinate sorted
+        poss = [a.reference_start for a in allrecs]
+        assert poss == sorted(poss)
+        # sequences survive round trip
+        byname = {a.query_name: a for a in allrecs}
+        for rec in recs:
+            a = byname[rec.qname]
+            assert a.query_sequence == rec.seq
+            assert a.mapping_quality == 60
+            assert a.reference_start == rec.pos
+
+        # indexed fetch == brute force overlap filter
+        for _ in range(25):
+            s = rng.randrange(0, 999000)
+            e = s + rng.randrange(100, 30000)
+            got = sorted(a.query_name for a in bam.fetch("chr1", s, e))
+            want = sorted(r.qname for r in recs
+                          if r.pos < e and r.end_pos() > s)
+            assert got == want, (s, e)
+            assert bam.count_overlapping("chr1", s, e) == len(want)
+
+
+def test_index_statistics(tmp_path):
+    recs = [SamRecord("a", 0, "chr1", 100, 60, "100M", "A" * 100),
+            SamRecord("b", 4, "chr1", 200, 0, "*", "A" * 50),
+            SamRecord("c", 0, "chr2", 10, 60, "20M", "A" * 20)]
+    p = str(tmp_path / "s.bam")
+    write_bam(p, [("chr1", 10000), ("chr2", 10000)], recs)
+    with BamReader(p) as bam:
+        stats = {name: (m, u) for name, m, u in bam.get_index_statistics()}
+    assert stats["chr1"] == (1, 1)
+    assert stats["chr2"] == (1, 0)
+
+
+def test_hard_clip_rewrite(tmp_path):
+    recs = [SamRecord("a", 2048, "chr1", 100, 60, "50H100M20H", "A" * 100)]
+    p = str(tmp_path / "h.bam")
+    write_bam(p, [("chr1", 10000)], recs)
+    with BamReader(p) as bam:
+        a = next(bam.fetch("chr1", 0, 10000))
+    # H -> S rewrite (create_align parity)
+    assert a.cigarstring == "50S100M20S"
+    assert a.query_alignment_start == 50
+    assert a.query_alignment_end == 150
+    assert a.query_length == 170
+
+
+def test_fetch_without_index(tmp_path):
+    recs = _mk_reads(random.Random(2), 50)
+    p = str(tmp_path / "n.bam")
+    write_bam(p, [("chr1", 1000000)], recs, write_index=False)
+    with BamReader(p) as bam:
+        assert not bam.has_index()
+        got = sorted(a.query_name for a in bam.fetch("chr1", 100000, 200000))
+        want = sorted(r.qname for r in recs
+                      if r.pos < 200000 and r.end_pos() > 100000)
+        assert got == want
+
+
+def test_reg2bins_covers_reg2bin(tmp_path):
+    from svision_tpu.io.bamwrite import _reg2bin
+    rng = random.Random(3)
+    for _ in range(300):
+        beg = rng.randrange(0, 1 << 28)
+        end = beg + rng.randrange(1, 1 << 18)
+        qbeg = max(0, beg - rng.randrange(0, 1000))
+        qend = end + rng.randrange(0, 1000)
+        # a record's bin must appear in the query bin list when overlapping
+        assert _reg2bin(beg, end) in reg2bins(qbeg, qend)
+
+
+def test_native_matches_python(tmp_path):
+    """Native libsvio fetch/count must agree with the pure-Python decoder."""
+    from svision_tpu.io import native_io
+    if not native_io.ensure_built():
+        pytest.skip("native toolchain unavailable")
+    rng = random.Random(7)
+    recs = _mk_reads(rng, 400)
+    # add split/hard-clip/unmapped exotics
+    recs.append(SamRecord("hc", 2048, "chr1", 777, 13, "30H70M10H", "G" * 70))
+    recs.append(SamRecord("um", 4, "chr1", 900, 0, "*", "T" * 40))
+    p = str(tmp_path / "n.bam")
+    write_bam(p, [("chr1", 1000000), ("chr2", 1000)], recs)
+
+    bam = BamReader(p)
+    assert bam.fetch_batch("chr1", 0, 10) is not None, "native path inactive"
+    for _ in range(20):
+        s = rng.randrange(0, 990000)
+        e = s + rng.randrange(50, 50000)
+        native = [(a.query_name, a.reference_start, a.flag, a.cigarstring,
+                   a.query_sequence) for a in bam.fetch("chr1", s, e)]
+        # force python path via fetch_raw
+        python = []
+        for rec in bam.fetch_raw("chr1", s, e):
+            a = rec.to_aln("chr1")
+            python.append((a.query_name, a.reference_start, a.flag,
+                           a.cigarstring, a.query_sequence))
+        assert native == python, (s, e)
+        assert bam.count_overlapping("chr1", s, e) == len(python)
+
+
+def test_native_no_index_scan(tmp_path):
+    from svision_tpu.io import native_io
+    if not native_io.ensure_built():
+        pytest.skip("native toolchain unavailable")
+    rng = random.Random(8)
+    recs = _mk_reads(rng, 80)
+    p = str(tmp_path / "ni.bam")
+    write_bam(p, [("chr0", 500), ("chr1", 1000000)], recs, write_index=False)
+    bam = BamReader(p)
+    got = sorted(a.query_name for a in bam.fetch("chr1", 100000, 300000))
+    want = sorted(r.qname for r in recs
+                  if r.pos < 300000 and r.end_pos() > 100000)
+    assert got == want

@@ -1,0 +1,103 @@
+"""Sharded inference / training over the virtual 8-device CPU mesh
+(SURVEY.md §4(4))."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from svision_tpu.models import alexnet
+from svision_tpu.models.train import make_train_step
+from svision_tpu.parallel import mesh as M
+
+
+@pytest.fixture(scope="module")
+def params():
+    return alexnet.init_params(jax.random.PRNGKey(0))
+
+
+def _specs(n, seed=0):
+    rng = np.random.RandomState(seed)
+    specs = np.zeros((n, 12), dtype=np.int64)
+    specs[:, 2] = rng.randint(0, 400, n)
+    specs[:, 3] = specs[:, 2] + rng.randint(30, 500, n)
+    specs[:, 4] = 1
+    specs[:, 7] = rng.randint(0, 600, n)
+    specs[:, 8] = specs[:, 7] + rng.randint(30, 400, n)
+    specs[:, 9] = rng.randint(0, 2, n)
+    specs[:, 10] = 1500
+    specs[:, 11] = 1500
+    return specs
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_inference_matches_single(params):
+    from svision_tpu.infer.engine import InferenceEngine
+    specs = _specs(40)
+    single = InferenceEngine(params, batch_size=16, bf16=False)
+    p1, s1 = single.predict_specs(specs)
+
+    m = M.make_mesh()
+    sharded = M.ShardedInference(params, m, batch_size=16, bf16=False)
+    p2, s2 = sharded.predict_specs(specs)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+
+def test_global_score_minmax():
+    m = M.make_mesh()
+    lo, hi = M.global_score_minmax(np.array([3.5, 99.0, 0.25, 42.0]), m)
+    assert (lo, hi) == (0.25, 99.0)
+    lo, hi = M.global_score_minmax(np.zeros(0), m)
+    assert lo == np.inf and hi == -np.inf
+
+
+def test_train_step_dp_tp(params):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    m = M.make_mesh(8, model_axis=2)   # 4-way data x 2-way tensor
+    sharded_params = M.shard_params_tp(params, m)
+    init_state, train_step = make_train_step()
+    opt_state = init_state(sharded_params)
+
+    batch = 8
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.choice([0., 255.], size=(batch, 227, 227, 3),
+                                    p=[0.97, 0.03]).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, batch), jnp.int32)
+    images = jax.device_put(images, NamedSharding(m, P("data")))
+    labels = jax.device_put(labels, NamedSharding(m, P("data")))
+
+    step = jax.jit(train_step)
+    p1, o1, loss1 = step(sharded_params, opt_state, images, labels,
+                         jax.random.PRNGKey(1))
+    p2, _, loss2 = step(p1, o1, images, labels, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss1)) and np.isfinite(float(loss2))
+    # params actually moved
+    delta = float(jnp.abs(p1["fc8/weights"] - params["fc8/weights"]).max())
+    assert delta > 0
+    # fc6 stays sharded on the model axis through the update
+    spec = p1["fc6/weights"].sharding.spec
+    assert tuple(spec) == (None, "model")
+
+
+def test_train_loss_decreases(params):
+    # single-device sanity: a few steps on one repeated batch reduce the loss
+    import optax
+    # deterministic setting: no dropout, normalized inputs, adam
+    init_state, train_step = make_train_step(optax.adam(1e-4), keep_prob=1.0)
+    opt_state = init_state(params)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.choice([0., 255.], size=(4, 227, 227, 3),
+                                    p=[0.97, 0.03]).astype(np.float32))
+    images = (images - 127.5) / 127.5
+    labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    step = jax.jit(train_step)
+    p, o = params, opt_state
+    losses = []
+    for i in range(8):
+        p, o, loss = step(p, o, images, labels, jax.random.PRNGKey(7))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses

@@ -1,0 +1,80 @@
+"""End-to-end pipeline test: synthetic BAM -> CLI -> VCF (SURVEY.md §4(3))."""
+import os
+import random
+
+import numpy as np
+import pytest
+
+from svision_tpu.cli import parse_arguments, run_pipeline
+from svision_tpu.models import alexnet
+from svision_tpu.models.checkpoint import save_params
+from tests import synth
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    genome_path = str(root / "ref.fa")
+    seqs = synth.make_genome(genome_path, {"chr1": 150000}, seed=7)
+    bam_path = str(root / "sample.bam")
+    events = synth.make_sv_bam(bam_path, seqs, seed=7, support=8,
+                               events=[("DEL", "chr1", 20000, 300),
+                                       ("INS", "chr1", 60000, 220),
+                                       ("INV", "chr1", 100000, 400)])
+    weights = str(root / "w.npz")
+    import jax
+    save_params({k: np.asarray(v) for k, v in
+                 alexnet.init_params(jax.random.PRNGKey(0)).items()}, weights)
+    return dict(root=root, genome=genome_path, bam=bam_path, weights=weights,
+                events=events)
+
+
+def _run(workspace, outdir, extra=()):
+    args = ["-o", outdir, "-b", workspace["bam"], "-g", workspace["genome"],
+            "-m", workspace["weights"], "-n", "synthsample", "-s", "3",
+            "--batch_size", "32", *extra]
+    options = parse_arguments(args)
+    return run_pipeline(options)
+
+
+def _records(vcf_path):
+    out = []
+    for line in open(vcf_path):
+        if not line.startswith("#") and line.strip():
+            out.append(line.rstrip("\n").split("\t"))
+    return out
+
+
+def test_end_to_end_calls(workspace, tmp_path):
+    vcf = _run(workspace, str(tmp_path / "out"), extra=["--qname"])
+    assert os.path.exists(vcf)
+    recs = _records(vcf)
+    assert len(recs) >= 2, recs
+    # calls land at the planted loci (within cluster tolerance)
+    starts = sorted(int(r[1]) for r in recs)
+    planted = [e[2] for e in workspace["events"]]
+    for anchor in planted[:2]:  # DEL and INS produce main-main candidates
+        assert any(abs(s - anchor) < 2500 for s in starts), (anchor, starts)
+    # format sanity
+    for r in recs:
+        assert r[0] == "chr1"
+        assert r[4] in ("<SV>", "<CSV>")
+        assert r[6] in ("PASS", "Uncovered")
+        assert "SVTYPE=" in r[7] and "READS=" in r[7]
+        assert r[8].startswith("GT:DR:DV")
+    # header carries contig + sample line
+    head = [l for l in open(vcf) if l.startswith("#")]
+    assert any("##contig=<ID=chr1,length=150000>" in l for l in head)
+    assert head[-1].rstrip().endswith("synthsample")
+
+
+def test_determinism(workspace, tmp_path):
+    v1 = _run(workspace, str(tmp_path / "o1"))
+    v2 = _run(workspace, str(tmp_path / "o2"))
+    assert _records(v1) == _records(v2)
+
+
+def test_region_mode(workspace, tmp_path):
+    # -c chr1 restricts to one chromosome and still calls
+    vcf = _run(workspace, str(tmp_path / "o3"), extra=["-c", "chr1"])
+    assert len(_records(vcf)) >= 2
