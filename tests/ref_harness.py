@@ -139,6 +139,16 @@ def install_fake_pysam():
     return mod
 
 
+def load_reference_module(dotted: str):
+    """Import one reference module (e.g. 'src.network.annotation') with the
+    fake pysam installed."""
+    install_fake_pysam()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import importlib
+    return importlib.import_module(dotted)
+
+
 def import_reference():
     """Import reference collection modules with the fake pysam installed."""
     install_fake_pysam()
