@@ -140,6 +140,100 @@ def forward(params: Params, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.A
     return h  # f32 logits
 
 
+# ---------------------------------------------------------------------------
+# Fast inference path: space-to-depth conv1 + input-normalization folding
+# ---------------------------------------------------------------------------
+#
+# AlexNet's first conv (11x11 stride 4 on 3 channels) runs at ~3/128 MXU lane
+# utilization: the contraction axis is only 11*3 wide. A 4x4 space-to-depth
+# transform re-expresses it exactly as a 3x3 stride-1 conv over 48 channels,
+# quadrupling the contraction width. On top of that, the image pipeline's
+# elementwise normalization (raster {0,1} -> *255 -> minus IMAGE_MEAN,
+# create_batch.py:146-150) is affine, so it folds into conv1's weights and
+# bias: conv(255*b - mean, W) = conv(b, 255*W) + (bias - sum(W*mean)).
+# The CNN then consumes the boolean raster directly — the f32 image tensor
+# (158 MB per 256-batch) is never materialized in HBM.
+
+_S2D = 4          # space-to-depth factor == conv1 stride
+_K1_PAD = 12      # conv1 kernel 11 padded to a multiple of the factor
+
+
+def fold_conv1_params(params: Params) -> Params:
+    """Return a params dict whose conv1 is the folded space-to-depth form.
+
+    conv1/weights: [11,11,3,96] -> [3,3,48,96] with the x255 scale folded in;
+    conv1/biases absorbs the IMAGE_MEAN shift. All other entries unchanged.
+    Exact in f32 arithmetic (bf16 rounding differs only in quantization order).
+    """
+    w = jnp.asarray(params["conv1/weights"], jnp.float32)      # [11,11,3,96]
+    b = jnp.asarray(params["conv1/biases"], jnp.float32)
+    mean = jnp.asarray(IMAGE_MEAN, jnp.float32)
+    # bias' = bias - sum_{h,w,c} W[h,w,c,o] * mean[c]  (VALID conv: every tap
+    # sees a mean-subtracted pixel)
+    b_fold = b - jnp.einsum("hwco,c->o", w, mean)
+    w_scaled = w * 255.0
+    pad = _K1_PAD - w.shape[0]
+    w_pad = jnp.pad(w_scaled, ((0, pad), (0, pad), (0, 0), (0, 0)))
+    kh = _K1_PAD // _S2D
+    # [12,12,3,96] -> [a,p,b,q,c,o] -> [a,b,(p,q,c),o] = [3,3,48,96]
+    w_s2d = (w_pad.reshape(kh, _S2D, kh, _S2D, 3, w.shape[3])
+             .transpose(0, 2, 1, 3, 4, 5)
+             .reshape(kh, kh, _S2D * _S2D * 3, w.shape[3]))
+    out = dict(params)
+    out["conv1/weights"] = w_s2d
+    out["conv1/biases"] = b_fold
+    return out
+
+
+def _space_to_depth(x: jax.Array) -> jax.Array:
+    """[N,227,227,3] -> [N,57,57,48]: pad to 228 and fold 4x4 blocks into
+    channels, ordered (p,q,c) to match fold_conv1_params."""
+    n, h, w, c = x.shape
+    hp = -h % _S2D
+    x = jnp.pad(x, ((0, 0), (0, hp), (0, hp), (0, 0)))
+    hh = (h + hp) // _S2D
+    return (x.reshape(n, hh, _S2D, hh, _S2D, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, hh, hh, _S2D * _S2D * c))
+
+
+def forward_raster(folded_params: Params, raster: jax.Array, *,
+                   compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Logits from a {0,1} raster [N,227,227,3] using folded params
+    (fold_conv1_params). Numerically equivalent to
+    forward(params, raster*255 - IMAGE_MEAN)."""
+    h = _space_to_depth(raster.astype(compute_dtype))
+    for name, _, _, _, stride, padding, groups in _CONV_SPECS:
+        w = folded_params[f"{name}/weights"].astype(compute_dtype)
+        b = folded_params[f"{name}/biases"].astype(jnp.float32)
+        if name == "conv1":
+            stride, padding = 1, "VALID"    # space-to-depth form
+        h = jax.lax.conv_general_dilated(
+            h, w,
+            window_strides=(stride, stride),
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.float32,
+        )
+        h = jax.nn.relu(h + b)
+        if name in ("conv1", "conv2"):
+            h = _maxpool(h)
+            h = lrn(h)
+        elif name == "conv5":
+            h = _maxpool(h)
+        h = h.astype(compute_dtype)
+
+    h = h.reshape(h.shape[0], -1)
+    for name, _, _ in _FC_SPECS:
+        w = folded_params[f"{name}/weights"].astype(compute_dtype)
+        b = folded_params[f"{name}/biases"].astype(jnp.float32)
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        if name != "fc8":
+            h = jax.nn.relu(h).astype(compute_dtype)
+    return h
+
+
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))
 def predict(params: Params, x: jax.Array, compute_dtype=jnp.float32):
     """(logits, argmax, softmax) — the triple the reference session computes

@@ -124,12 +124,13 @@ def _line_walk(endpoints: jnp.ndarray):
     return cols, rows, valid
 
 
-def render_images(endpoints: jnp.ndarray, visible: jnp.ndarray,
-                  reverse: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
-    """[N,SEGS,4] clipped endpoints -> [N,227,227,3] mean-subtracted images.
+def render_raster(endpoints: jnp.ndarray, visible: jnp.ndarray,
+                  reverse: jnp.ndarray, *, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[N,SEGS,4] clipped endpoints -> {0,1} raster [N,227,227,3].
 
-    Pure jittable function; the two einsums below are the MXU rasterization.
-    """
+    The un-normalized form consumed by alexnet.forward_raster (the *255 and
+    mean-subtract are folded into conv1 there); see render_images for the
+    reference-normalized tensor."""
     n = endpoints.shape[0]
     cols, rows, valid = _line_walk(endpoints)          # [N,S,T]
     valid = valid & visible[..., None]
@@ -157,9 +158,16 @@ def render_images(endpoints: jnp.ndarray, visible: jnp.ndarray,
     col_rows = jnp.sum(ch0, axis=1, keepdims=True)            # [N,1,col]
     ch1 = ch0 & (col_rows >= 2)
 
-    img = jnp.stack([ch0, ch1, ch2], axis=-1).astype(dtype) * jnp.asarray(255.0, dtype)
+    return jnp.stack([ch0, ch1, ch2], axis=-1).astype(dtype)
+
+
+def render_images(endpoints: jnp.ndarray, visible: jnp.ndarray,
+                  reverse: jnp.ndarray, *, dtype=jnp.float32) -> jnp.ndarray:
+    """[N,SEGS,4] clipped endpoints -> [N,227,227,3] mean-subtracted images
+    (the reference's normalized tensor, create_batch.py:146-150)."""
+    raster = render_raster(endpoints, visible, reverse, dtype=dtype)
     mean = jnp.asarray(IMAGE_MEAN, dtype)
-    return img - mean
+    return raster * jnp.asarray(255.0, dtype) - mean
 
 
 @jax.jit

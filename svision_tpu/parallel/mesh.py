@@ -71,19 +71,29 @@ class ShardedInference:
     """
 
     def __init__(self, params, mesh: Mesh, batch_size: int = 128,
-                 bf16: bool = True):
+                 bf16: bool = True, fast: bool = True):
         self.mesh = mesh
         self.batch_size = batch_size
         self.compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
+        self.fast = fast and bf16
+        if self.fast:
+            params = alexnet.fold_conv1_params(
+                jax.tree_util.tree_map(jnp.asarray, params))
         self.params = replicate_params(params, mesh)
         data_sharding = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
 
         def step(params, endpoints, visible, reverse):
-            images = rasterize.render_images(endpoints, visible, reverse,
-                                             dtype=jnp.float32)
-            logits = alexnet.forward(params, images,
-                                     compute_dtype=self.compute_dtype)
+            if self.fast:
+                raster = rasterize.render_raster(endpoints, visible, reverse,
+                                                 dtype=self.compute_dtype)
+                logits = alexnet.forward_raster(params, raster,
+                                                compute_dtype=self.compute_dtype)
+            else:
+                images = rasterize.render_images(endpoints, visible, reverse,
+                                                 dtype=jnp.float32)
+                logits = alexnet.forward(params, images,
+                                         compute_dtype=self.compute_dtype)
             pred = jnp.argmax(logits, axis=1)
             soft = jax.nn.softmax(logits, axis=1)
             return pred, jnp.take_along_axis(soft, pred[:, None], axis=1)[:, 0]

@@ -109,6 +109,39 @@ def test_bf16_forward_argmax_stable(batch):
     assert (f32.argmax(1) == bf16.argmax(1)).all()
 
 
+def test_fast_path_parity(batch):
+    """Space-to-depth conv1 + normalization folding (fold_conv1_params /
+    forward_raster) vs the exact path: f32 logits within cancellation noise,
+    argmax identical."""
+    params = _rand_params(seed=4)
+    folded = alexnet.fold_conv1_params(params)
+    raster = (batch + np.array(alexnet.IMAGE_MEAN, np.float32)) / 255.0
+    exact = np.asarray(alexnet.forward(params, jnp.asarray(batch),
+                                       compute_dtype=jnp.float32))
+    fast = np.asarray(alexnet.forward_raster(folded, jnp.asarray(raster),
+                                             compute_dtype=jnp.float32))
+    np.testing.assert_allclose(fast, exact, rtol=1e-3, atol=1e-3)
+    assert (fast.argmax(1) == exact.argmax(1)).all()
+
+
+def test_fold_conv1_exact_on_conv():
+    """The folded conv1 itself reproduces conv(255*b - mean) to f32 accuracy."""
+    params = _rand_params(seed=5)
+    folded = alexnet.fold_conv1_params(params)
+    rng = np.random.RandomState(6)
+    raster = rng.choice([0.0, 1.0], size=(2, 227, 227, 3), p=[0.97, 0.03]).astype(np.float32)
+    img = raster * 255.0 - np.array(alexnet.IMAGE_MEAN, np.float32)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(img), jnp.asarray(params["conv1/weights"]), (4, 4), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + params["conv1/biases"]
+    got = jax.lax.conv_general_dilated(
+        alexnet._space_to_depth(jnp.asarray(raster)),
+        jnp.asarray(folded["conv1/weights"]), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + folded["conv1/biases"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from svision_tpu.models import checkpoint
     params = _rand_params(seed=3)
