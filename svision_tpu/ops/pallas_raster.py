@@ -136,10 +136,11 @@ def render_raster_pallas(endpoints, visible, reverse, *, block: int = 8,
 
 
 def render_images_pallas(endpoints, visible, reverse, *, block: int = 8,
-                         dtype=jnp.float32):
+                         dtype=jnp.float32, interpret: bool = False):
     """Mean-subtracted [N,227,227,3] images via the Pallas kernel (the
     reference-normalized tensor, create_batch.py:146-150)."""
     from svision_tpu.models.alexnet import IMAGE_MEAN
     raster = render_raster_pallas(endpoints, visible, reverse,
-                                  block=block, dtype=dtype)
+                                  block=block, dtype=dtype,
+                                  interpret=interpret)
     return raster * jnp.asarray(255.0, dtype) - jnp.asarray(IMAGE_MEAN, dtype)

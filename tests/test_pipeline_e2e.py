@@ -78,3 +78,31 @@ def test_region_mode(workspace, tmp_path):
     # -c chr1 restricts to one chromosome and still calls
     vcf = _run(workspace, str(tmp_path / "o3"), extra=["-c", "chr1"])
     assert len(_records(vcf)) >= 2
+
+
+def test_contig_mode(workspace, tmp_path):
+    """--contig: assembly alignments, min_support forced to 1
+    (SVision:161-162,179-180; BASELINE config 3)."""
+    import random as _random
+    from tests import synth as _synth
+
+    root = tmp_path / "contig"
+    root.mkdir()
+    genome_path = str(root / "ref.fa")
+    seqs = _synth.make_genome(genome_path, {"chr1": 120000}, seed=5)
+    bam_path = str(root / "asm.bam")
+    # two haplotype contigs carrying the same DEL (the reference's strict
+    # `>` partition gate needs >min_support signatures even in contig mode,
+    # cluster_signatures.py:57-64 — a diploid assembly provides 2)
+    _synth.make_sv_bam(bam_path, seqs, seed=5, support=2,
+                       events=[("DEL", "chr1", 40000, 400)])
+    args = ["-o", str(root / "out"), "-b", bam_path, "-g",
+            workspace["genome"].replace(workspace["genome"], genome_path),
+            "-m", workspace["weights"], "-n", "asm", "-s", "5",
+            "--contig", "--batch_size", "32"]
+    options = parse_arguments(args)
+    assert options.min_support == 1   # contig override applied
+    vcf = run_pipeline(options)
+    recs = _records(vcf)
+    assert recs, "contig mode produced no calls"
+    assert any(abs(int(r[1]) - 42000) < 2500 for r in recs), recs
