@@ -25,7 +25,8 @@ import numpy as np
 
 from svision_tpu import __version__, REFERENCE_VERSION
 from svision_tpu.config import Options
-from svision_tpu.collect.window import WindowResult, dump_bed, run_detect
+from svision_tpu.collect.window import (WindowResult, dump_bed, load_bed,
+                                        run_detect)
 from svision_tpu.io.bam import BamReader
 from svision_tpu.io.fasta import FastaFile
 
@@ -71,6 +72,13 @@ def parse_arguments(arguments=None) -> Options:
                      help="Activate contig mode")
     opt.add_argument("--debug", action="store_true", default=False,
                      help="Activate debug mode and keep intermedia outputs")
+    opt.add_argument("--resume", action="store_true", default=False,
+                     help="Cache per-window candidate beds under "
+                     "<out>/segments and reuse them on rerun (the reference "
+                     "recomputes everything, SVision:370-372)")
+    opt.add_argument("--profile", dest="profile_dir", type=str, default=None,
+                     help="Write a jax.profiler trace of the prediction "
+                     "stage to this directory")
 
     col = parser.add_argument_group("Collect parameters")
     col.add_argument("--min_mapq", type=int, default=10)
@@ -194,23 +202,40 @@ def run_pipeline(options: Options) -> str:
     start_time = datetime.datetime.now()
     logging.info("**** Step1 Image coding and segmentation ****")
 
+    segments_dir = os.path.join(work_dir, "segments")
     jobs = []
+    results: List[WindowResult] = []
     for chrom, task_list in tasks.items():
         for part, (task_start, task_end) in enumerate(task_list):
-            jobs.append((options, options.bam_path, chrom, part,
-                         task_start, task_end))
+            cached = (load_bed(segments_dir, chrom, part)
+                      if options.resume else None)
+            if cached is not None:
+                results.append(cached)
+            else:
+                jobs.append((options, options.bam_path, chrom, part,
+                             task_start, task_end))
+    if results:
+        logging.info("--resume: reloaded %d cached windows", len(results))
 
-    results: List[WindowResult] = []
     if options.thread_num > 1:
         with concurrent.futures.ProcessPoolExecutor(
                 max_workers=options.thread_num) as pool:
-            results = list(pool.map(_collect_worker, jobs))
+            results += list(pool.map(_collect_worker, jobs))
     else:
-        shared_bam = bam
-        shared_ref = ref
         for (_opts, bam_path, chrom, part, s, e) in jobs:
             results.append(run_detect(options, bam_path, chrom, part, s, e,
-                                      bam=shared_bam, ref=shared_ref))
+                                      bam=bam, ref=ref))
+
+    # one in-process retry per failed window (vs the reference's silent
+    # swallow, SVision:273-281 / SURVEY.md §5.3)
+    for i, r in enumerate(results):
+        if not r.error:
+            continue
+        logging.warning("window %s part %s failed, retrying: %s",
+                        r.chrom, r.part, r.error)
+        s, e = tasks[r.chrom][r.part]
+        results[i] = run_detect(options, options.bam_path, r.chrom, r.part,
+                                s, e, bam=bam, ref=ref)
 
     failures = [r for r in results if r.error]
     for r in failures:
@@ -222,8 +247,8 @@ def run_pipeline(options: Options) -> str:
     for res in sorted(results, key=lambda r: (list(tasks).index(r.chrom), r.part)):
         by_chrom[res.chrom].extend(res.candidates)
 
-    if options.debug:
-        dump_bed(results, os.path.join(work_dir, "segments"))
+    if options.debug or options.resume:
+        dump_bed(results, segments_dir)
 
     t_collect = datetime.datetime.now()
     logging.info("[Coding finished]: Collect segment signatures, Cost time: %s",
@@ -242,7 +267,12 @@ def run_pipeline(options: Options) -> str:
     params = load_params(options.model_path)
     engine = InferenceEngine(params, batch_size=options.batch_size,
                              bf16=options.bf16)
-    with metrics.timer("predict"):
+    import contextlib
+    profile_ctx = contextlib.nullcontext()
+    if options.profile_dir:
+        import jax
+        profile_ctx = jax.profiler.trace(options.profile_dir)
+    with metrics.timer("predict"), profile_ctx:
         for chrom in tasks:
             out_prefix = os.path.join(predict_results_dir,
                                       f"{chrom}.predict.s{options.min_support}")

@@ -112,6 +112,19 @@ class Candidate:
                 f"\t{self.bkp_start}\t{self.bkp_end}\t{self.score}"
                 f"\t{self.pair_forward}\t{self.mechanism}\t{self.bkp_len}\n")
 
+    @classmethod
+    def from_bed_line(cls, line: str) -> "Candidate":
+        """Inverse of to_bed_line — the 23-column record the reference's
+        BatchGenerator parses (create_batch.py:40-49); used for --resume."""
+        p = line.rstrip("\n").split("\t")
+        spec = tuple(
+            int(p[k]) if k not in (5, 10) else int(p[k] == "True")
+            for k in range(1, 13))
+        return cls(region=p[0], spec=spec, sig_id=p[13], sub_id=int(p[14]),
+                   qname=p[15], sig_type=p[16], bkp_start=int(p[17]),
+                   bkp_end=int(p[18]), score=int(p[19]), pair_forward=p[20],
+                   mechanism=p[21], bkp_len=int(p[22]))
+
 
 def _pair_spec(a: SegBox, b: SegBox, read_len: int, ref_len: int) -> Tuple[int, ...]:
     return a.to_fields()[:4] + (int(a.forward),) + b.to_fields()[:4] \

@@ -86,11 +86,24 @@ def run_detect(options, bam_path: str, chrom: str, part: int, start: int,
 
 
 def dump_bed(results: List[WindowResult], out_dir: str) -> None:
-    """--debug: write per-part bed files byte-compatible with the reference's
-    {chr}.segments.{part}.bed (output_clusters.py:83-89)."""
+    """--debug/--resume: write per-part bed files byte-compatible with the
+    reference's {chr}.segments.{part}.bed (output_clusters.py:83-89)."""
     os.makedirs(out_dir, exist_ok=True)
     for res in results:
         path = os.path.join(out_dir, f"{res.chrom}.segments.{res.part}.bed")
-        with open(path, "w") as fh:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
             for cand in res.candidates:
                 fh.write(cand.to_bed_line())
+        os.replace(tmp, path)   # atomic: resume never sees partial beds
+
+
+def load_bed(out_dir: str, chrom: str, part: int) -> Optional[WindowResult]:
+    """--resume: reload a window's cached candidates; None when absent."""
+    path = os.path.join(out_dir, f"{chrom}.segments.{part}.bed")
+    if not os.path.exists(path):
+        return None
+    result = WindowResult(chrom=chrom, part=part)
+    with open(path) as fh:
+        result.candidates = [Candidate.from_bed_line(l) for l in fh if l.strip()]
+    return result

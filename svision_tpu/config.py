@@ -59,6 +59,10 @@ class Options:
     mesh_devices: Optional[int] = None
     # Use bfloat16 for the CNN forward pass (fp32 logits accumulation).
     bf16: bool = True
+    # Cache per-window candidate beds and reuse them on rerun.
+    resume: bool = False
+    # jax.profiler trace directory for the prediction stage.
+    profile_dir: Optional[str] = None
 
     def normalized(self) -> "Options":
         """Apply the reference's dynamic overrides (SVision:161-162)."""

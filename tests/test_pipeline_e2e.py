@@ -80,6 +80,23 @@ def test_region_mode(workspace, tmp_path):
     assert len(_records(vcf)) >= 2
 
 
+def test_resume_cache(workspace, tmp_path):
+    """--resume: second run reloads cached candidate beds and produces an
+    identical VCF (SURVEY.md §5.4)."""
+    outdir = str(tmp_path / "or")
+    v1 = _run(workspace, outdir, extra=["--resume"])
+    r1 = _records(v1)
+    seg_dir = os.path.join(outdir, "segments")
+    assert os.path.isdir(seg_dir) and os.listdir(seg_dir)
+    # candidate bed round-trip
+    from svision_tpu.collect.candidates import Candidate
+    line = open(os.path.join(seg_dir, os.listdir(seg_dir)[0])).readline()
+    assert Candidate.from_bed_line(line).to_bed_line() == line
+
+    v2 = _run(workspace, outdir, extra=["--resume"])
+    assert _records(v2) == r1
+
+
 def test_contig_mode(workspace, tmp_path):
     """--contig: assembly alignments, min_support forced to 1
     (SVision:161-162,179-180; BASELINE config 3)."""
