@@ -42,13 +42,14 @@ def random_specs(n, seed=0):
     return specs
 
 
-def measure_tpu(batch_size=256, n_batches=8, seed=0):
+def measure_tpu(batch_size=256, n_batches=32, seed=0):
     import jax
     from svision_tpu.infer.engine import InferenceEngine
     from svision_tpu.models import alexnet
 
     params = alexnet.init_params(jax.random.PRNGKey(0))
-    engine = InferenceEngine(params, batch_size=batch_size, bf16=True)
+    engine = InferenceEngine(params, batch_size=batch_size, bf16=True,
+                             fast=True, chunk=8)
 
     specs = random_specs(batch_size * n_batches, seed)
     # warmup/compile
