@@ -94,7 +94,13 @@ def lrn(x: jax.Array, radius: int = 2, alpha: float = 2e-5, beta: float = 0.75,
     hi = jnp.minimum(jnp.arange(c) + radius + 1, c)
     lo = jnp.maximum(jnp.arange(c) - radius, 0)
     win = jnp.take(csum, hi, axis=-1) - jnp.take(csum, lo, axis=-1)
-    return x * jax.lax.pow(bias + alpha * win, -beta)
+    v = bias + alpha * win
+    if beta == 0.75:
+        # v^-0.75 = rsqrt(v) * sqrt(rsqrt(v)) — rsqrt/sqrt have fast VPU
+        # paths, generic pow lowers to exp/log
+        r = jax.lax.rsqrt(v)
+        return x * (r * jnp.sqrt(r))
+    return x * jax.lax.pow(v, -beta)
 
 
 def _maxpool(x: jax.Array) -> jax.Array:

@@ -71,16 +71,18 @@ class ShardedInference:
     """
 
     def __init__(self, params, mesh: Mesh, batch_size: int = 128,
-                 bf16: bool = True, fast: bool = True):
+                 bf16: bool = True, fast: bool = True, chunk: int = 8):
         self.mesh = mesh
         self.batch_size = batch_size
+        self.chunk = chunk
         self.compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
         self.fast = fast and bf16
         if self.fast:
             params = alexnet.fold_conv1_params(
                 jax.tree_util.tree_map(jnp.asarray, params))
         self.params = replicate_params(params, mesh)
-        data_sharding = NamedSharding(mesh, P("data"))
+        # batch rows sharded over 'data' within each scanned chunk
+        data_sharding = NamedSharding(mesh, P(None, "data"))
         repl = NamedSharding(mesh, P())
 
         def step(params, endpoints, visible, reverse):
@@ -98,33 +100,45 @@ class ShardedInference:
             soft = jax.nn.softmax(logits, axis=1)
             return pred, jnp.take_along_axis(soft, pred[:, None], axis=1)[:, 0]
 
+        def step_many(params, endpoints, visible, reverse):
+            # [C,B,...] -> ([C*B], [C*B]); one dispatch per super-chunk
+            def body(_, inp):
+                p, s = step(params, *inp)
+                return None, (p, s)
+            _, (preds, softs) = jax.lax.scan(
+                body, None, (endpoints, visible, reverse))
+            return preds.reshape(-1), softs.reshape(-1)
+
         self._step = jax.jit(
-            step,
+            step_many,
             in_shardings=(jax.tree_util.tree_map(lambda _: repl, self.params),
                           data_sharding, data_sharding, data_sharding),
-            out_shardings=(data_sharding, data_sharding))
+            out_shardings=(NamedSharding(mesh, P("data")),) * 2)
 
     def predict_specs(self, specs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         n = specs.shape[0]
         if n == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
-        bs = self.batch_size
         data_axis = self.mesh.shape["data"]
-        bs = max(bs, data_axis)
-        pad = (-n) % bs
+        bs = max(self.batch_size, data_axis)
+        super_bs = bs * self.chunk
+        pad = (-n) % super_bs
         if pad:
             sentinel = np.array([[0, 1, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2]],
                                 dtype=np.int64)
             specs = np.concatenate([specs, np.repeat(sentinel, pad, 0)], 0)
         ep, vis, rev = rasterize.specs_to_endpoints(specs)
-        preds, softs = [], []
-        for i in range(0, specs.shape[0], bs):
-            p, s = self._step(self.params, jnp.asarray(ep[i:i + bs]),
-                              jnp.asarray(vis[i:i + bs]),
-                              jnp.asarray(rev[i:i + bs]))
-            preds.append(np.asarray(p))
-            softs.append(np.asarray(s))
-        return np.concatenate(preds)[:n], np.concatenate(softs)[:n]
+        outs = []
+        for i in range(0, specs.shape[0], super_bs):
+            c = self.chunk
+            outs.append(self._step(
+                self.params,
+                jnp.asarray(ep[i:i + super_bs].reshape(c, bs, *ep.shape[1:])),
+                jnp.asarray(vis[i:i + super_bs].reshape(c, bs, *vis.shape[1:])),
+                jnp.asarray(rev[i:i + super_bs].reshape(c, bs, *rev.shape[1:]))))
+        preds = np.concatenate([np.asarray(p) for p, _ in outs])
+        softs = np.concatenate([np.asarray(s) for _, s in outs])
+        return preds[:n], softs[:n]
 
 
 def global_score_minmax(local_scores: np.ndarray, mesh: Mesh
