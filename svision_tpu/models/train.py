@@ -81,3 +81,132 @@ def make_train_step(optimizer=None, keep_prob: float = 0.5,
         return params, opt_state, loss
 
     return init_state, train_step
+
+
+# ---------------------------------------------------------------------------
+# Training pipeline: labeled candidate specs -> trained checkpoint
+# ---------------------------------------------------------------------------
+
+def specs_to_images(specs, flip: bool = False):
+    """Host+device: [N,12] specs -> [N,227,227,3] normalized images.
+
+    flip=True mirrors the image left-right — the reference training recipe's
+    cv2.flip augmentation (create_batch.py imports cv2.flip for this; a
+    horizontal flip of the ref axis preserves the SV class)."""
+    import jax.numpy as jnp
+    from svision_tpu.ops import rasterize
+    ep, vis, rev = rasterize.specs_to_endpoints(specs)
+    imgs = rasterize.render_images_jit(jnp.asarray(ep), jnp.asarray(vis),
+                                       jnp.asarray(rev))
+    if flip:
+        imgs = imgs[:, :, ::-1, :]
+    return imgs
+
+
+def fit(params: Params, specs, labels, *, epochs: int = 3,
+        batch_size: int = 32, seed: int = 0, learning_rate: float = 1e-3,
+        keep_prob: float = 0.5, compute_dtype=jnp.float32, augment: bool = True,
+        mesh=None, log=None):
+    """Train the CNN on labeled candidate specs; returns (params, history).
+
+    With `mesh`, params/batches are sharded (data-parallel + fc6/fc7 TP when
+    the mesh has a 'model' axis); single-device otherwise.
+    """
+    import numpy as np
+    import optax as _optax
+
+    # raw reference-scale images (±151 after mean-subtract) produce large
+    # initial logits; clip gradients so SGD survives the first epochs
+    optimizer = _optax.chain(_optax.clip_by_global_norm(1.0),
+                             _optax.sgd(learning_rate, momentum=0.9))
+    init_state, train_step = make_train_step(
+        optimizer, keep_prob=keep_prob, compute_dtype=compute_dtype)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from svision_tpu.parallel.mesh import shard_params_tp, replicate_params
+        if "model" in mesh.axis_names and mesh.shape.get("model", 1) > 1:
+            params = shard_params_tp(params, mesh)
+        else:
+            params = replicate_params(params, mesh)
+        data_sh = NamedSharding(mesh, P("data"))
+    else:
+        data_sh = None
+
+    opt_state = init_state(params)
+    step = jax.jit(train_step)
+    rng = jax.random.PRNGKey(seed)
+    nprng = np.random.RandomState(seed)
+
+    n = len(labels)
+    specs = np.asarray(specs)
+    labels = np.asarray(labels, np.int32)
+    history = []
+    for epoch in range(epochs):
+        order = nprng.permutation(n)
+        epoch_loss, batches = 0.0, 0
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i:i + batch_size]
+            flip = augment and bool(nprng.randint(2))
+            images = specs_to_images(specs[idx], flip=flip)
+            lab = jnp.asarray(labels[idx])
+            if data_sh is not None:
+                images = jax.device_put(images, data_sh)
+                lab = jax.device_put(lab, data_sh)
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = step(params, opt_state, images, lab, sub)
+            epoch_loss += float(loss)
+            batches += 1
+        history.append(epoch_loss / max(batches, 1))
+        if log:
+            log(f"epoch {epoch}: mean loss {history[-1]:.4f}")
+    return params, history
+
+
+def evaluate(params: Params, specs, labels, batch_size: int = 64) -> float:
+    """Argmax accuracy on labeled specs."""
+    import numpy as np
+    correct = 0
+    labels = np.asarray(labels)
+    n = len(labels)
+    for i in range(0, n, batch_size):
+        images = specs_to_images(np.asarray(specs[i:i + batch_size]))
+        logits = alexnet.forward(params, images)
+        correct += int((np.argmax(np.asarray(logits), 1)
+                        == labels[i:i + batch_size]).sum())
+    return correct / n
+
+
+def main(argv=None):
+    """CLI: train from an .npz with `specs` [N,12] and `labels` [N]
+    (class ids 0=DEL 1=INS 2=INV 3=DUP 4=tDUP, predict.py:133-142)."""
+    import argparse
+    import numpy as np
+    from svision_tpu.models.checkpoint import load_params, save_params
+
+    ap = argparse.ArgumentParser(description="svision-tpu CNN trainer")
+    ap.add_argument("--data", required=True, help=".npz with specs + labels")
+    ap.add_argument("-o", dest="out", required=True, help="output .npz weights")
+    ap.add_argument("--init", default=None, help="warm-start weights")
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ns = ap.parse_args(argv)
+
+    with np.load(ns.data) as z:
+        specs, labels = z["specs"], z["labels"]
+    if ns.init:
+        params = {k: jnp.asarray(v) for k, v in load_params(ns.init).items()}
+    else:
+        params = alexnet.init_params(jax.random.PRNGKey(ns.seed))
+    params, history = fit(params, specs, labels, epochs=ns.epochs,
+                          batch_size=ns.batch_size, seed=ns.seed,
+                          learning_rate=ns.lr, log=print)
+    save_params({k: __import__("numpy").asarray(v) for k, v in params.items()},
+                ns.out)
+    print(f"saved {ns.out}; final loss {history[-1]:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -68,14 +68,16 @@ def _membership(ep, rows, cols):
     # y-major: one column per row
     iy = sy * (rows - r0n)
     my = (iy >= 0) & (iy <= ady) & (cols == c0n + k_of(iy))
-    return jnp.where(xmajor, mx, my)
+    # logical blend instead of select_n: Mosaic can't truncate i8->i1 vectors
+    return (mx & xmajor) | (my & ~xmajor)
 
 
-def _raster_kernel(ep_ref, vis_ref, rev_ref, out_ref):
+def _raster_kernel(ep_ref, out_ref):
     """One grid step rasterizes a block of B images.
 
-    ep_ref:  int32 [B, SEGS, 4]
-    vis/rev: int32 [B, SEGS]  (bool as int32; SMEM-friendly)
+    ep_ref:  int32 [B, SEGS, 8] — (c0, r0, c1, r1, visible, reverse, 0, 0);
+             visibility/reverse ride in the endpoint tensor so every input
+             block satisfies Mosaic's (8,128)-divisible-or-full tiling rule.
     out_ref: [B, 3, 227, 227]
     """
     b = ep_ref.shape[0]
@@ -85,10 +87,10 @@ def _raster_kernel(ep_ref, vis_ref, rev_ref, out_ref):
     ch0 = jnp.zeros((b, CANVAS, CANVAS), jnp.bool_)
     ch2 = jnp.zeros((b, CANVAS, CANVAS), jnp.bool_)
     for s in range(SEGS):
-        lit = _membership(ep_ref[:, s, :], rows, cols)
-        lit = lit & (vis_ref[:, s] != 0)[:, None, None]
+        lit = _membership(ep_ref[:, s, :4], rows, cols)
+        lit = lit & (ep_ref[:, s, 4] != 0)[:, None, None]
         ch0 = ch0 | lit
-        ch2 = ch2 | (lit & (rev_ref[:, s] != 0)[:, None, None])
+        ch2 = ch2 | (lit & (ep_ref[:, s, 5] != 0)[:, None, None])
 
     # duplication channel: image columns (ref axis) with >=2 lit rows keep
     # those rows (plot_segment.py:57-67)
@@ -103,7 +105,7 @@ def _raster_kernel(ep_ref, vis_ref, rev_ref, out_ref):
 
 @functools.partial(jax.jit,
                    static_argnames=("block", "dtype", "interpret"))
-def render_raster_pallas(endpoints, visible, reverse, *, block: int = 8,
+def render_raster_pallas(endpoints, visible, reverse, *, block: int = 4,
                          dtype=jnp.bfloat16, interpret: bool = False):
     """[N,SEGS,4] clipped endpoints -> {0,1} raster [N,227,227,3] (NHWC).
 
@@ -114,15 +116,17 @@ def render_raster_pallas(endpoints, visible, reverse, *, block: int = 8,
     n = endpoints.shape[0]
     assert n % block == 0, (n, block)
     grid = (n // block,)
+    packed = jnp.concatenate([
+        endpoints.astype(jnp.int32),
+        visible.astype(jnp.int32)[..., None],
+        reverse.astype(jnp.int32)[..., None],
+        jnp.zeros((n, SEGS, 2), jnp.int32),
+    ], axis=-1)                                   # [N, SEGS, 8]
     out = pl.pallas_call(
         _raster_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block, SEGS, 4), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, SEGS), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, SEGS), lambda i: (i, 0),
+            pl.BlockSpec((block, SEGS, 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block, 3, CANVAS, CANVAS),
@@ -130,12 +134,11 @@ def render_raster_pallas(endpoints, visible, reverse, *, block: int = 8,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 3, CANVAS, CANVAS), dtype),
         interpret=interpret,
-    )(endpoints.astype(jnp.int32), visible.astype(jnp.int32),
-      reverse.astype(jnp.int32))
+    )(packed)
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
-def render_images_pallas(endpoints, visible, reverse, *, block: int = 8,
+def render_images_pallas(endpoints, visible, reverse, *, block: int = 4,
                          dtype=jnp.float32, interpret: bool = False):
     """Mean-subtracted [N,227,227,3] images via the Pallas kernel (the
     reference-normalized tensor, create_batch.py:146-150)."""
