@@ -41,13 +41,21 @@ def _device_step(params, endpoints, visible, reverse,
     return pred, jnp.take_along_axis(soft, pred[:, None], axis=1)[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "raster_kind"))
 def _device_step_fast(folded_params, endpoints, visible, reverse,
-                      compute_dtype=jnp.bfloat16):
+                      compute_dtype=jnp.bfloat16, raster_kind="einsum"):
     """Fast path: {0,1} raster straight into the folded space-to-depth CNN
-    (alexnet.fold_conv1_params) — no f32 image tensor in HBM."""
-    raster = rasterize.render_raster(endpoints, visible, reverse,
-                                     dtype=compute_dtype)
+    (alexnet.fold_conv1_params) — no f32 image tensor in HBM.
+
+    raster_kind selects the encoder: 'einsum' (MXU one-hot contraction) or
+    'pallas' (VPU membership kernel, ops/pallas_raster.py)."""
+    if raster_kind == "pallas":
+        from svision_tpu.ops.pallas_raster import render_raster_pallas
+        raster = render_raster_pallas(endpoints, visible, reverse,
+                                      dtype=compute_dtype)
+    else:
+        raster = rasterize.render_raster(endpoints, visible, reverse,
+                                         dtype=compute_dtype)
     logits = alexnet.forward_raster(folded_params, raster,
                                     compute_dtype=compute_dtype)
     pred = jnp.argmax(logits, axis=1)
@@ -55,9 +63,11 @@ def _device_step_fast(folded_params, endpoints, visible, reverse,
     return pred, jnp.take_along_axis(soft, pred[:, None], axis=1)[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype", "fast"))
+@functools.partial(jax.jit,
+                   static_argnames=("compute_dtype", "fast", "raster_kind"))
 def _device_step_many(params, endpoints, visible, reverse,
-                      compute_dtype=jnp.bfloat16, fast=True):
+                      compute_dtype=jnp.bfloat16, fast=True,
+                      raster_kind="einsum"):
     """Chunked dispatch: inputs [C, B, ...] -> (preds [C*B], softs [C*B]).
 
     A lax.scan over C batches inside ONE program: one host->device transfer
@@ -65,11 +75,15 @@ def _device_step_many(params, endpoints, visible, reverse,
     tunnel, per-dispatch latency capped the per-batch path at ~25k images/s
     regardless of program content; this amortizes it C-fold.
     """
-    step = _device_step_fast if fast else _device_step
-
     def body(_, inp):
         ep_i, vis_i, rev_i = inp
-        p, s = step(params, ep_i, vis_i, rev_i, compute_dtype=compute_dtype)
+        if fast:
+            p, s = _device_step_fast(params, ep_i, vis_i, rev_i,
+                                     compute_dtype=compute_dtype,
+                                     raster_kind=raster_kind)
+        else:
+            p, s = _device_step(params, ep_i, vis_i, rev_i,
+                                compute_dtype=compute_dtype)
         return None, (p, s)
 
     _, (preds, softs) = jax.lax.scan(body, None, (endpoints, visible, reverse))
@@ -84,10 +98,11 @@ class InferenceEngine:
     dominate otherwise (profiled ~6x on the TPU tunnel)."""
 
     def __init__(self, params, batch_size: int = 128, bf16: bool = True,
-                 fast: bool = True, chunk: int = 8):
+                 fast: bool = True, chunk: int = 8, raster: str = "einsum"):
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.batch_size = batch_size
         self.chunk = chunk              # batches per device dispatch
+        self.raster = raster            # 'einsum' (MXU) or 'pallas' (VPU)
         self.compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
         # exact mode (bf16=False) keeps the reference-faithful f32 path;
         # the folded fast path's reassociation error is below bf16 rounding
@@ -123,7 +138,8 @@ class InferenceEngine:
                 jnp.asarray(ep[i:i + super_bs].reshape(c, bs, *ep.shape[1:])),
                 jnp.asarray(vis[i:i + super_bs].reshape(c, bs, *vis.shape[1:])),
                 jnp.asarray(rev[i:i + super_bs].reshape(c, bs, *rev.shape[1:])),
-                compute_dtype=self.compute_dtype, fast=self.fast))
+                compute_dtype=self.compute_dtype, fast=self.fast,
+                raster_kind=self.raster))
         preds = np.concatenate([np.asarray(p) for p, _ in outs])
         softs = np.concatenate([np.asarray(s) for _, s in outs])
         return preds[:n], softs[:n]

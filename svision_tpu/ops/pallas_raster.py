@@ -106,13 +106,15 @@ def _raster_kernel(ep_ref, out_ref):
 @functools.partial(jax.jit,
                    static_argnames=("block", "dtype", "interpret"))
 def render_raster_pallas(endpoints, visible, reverse, *, block: int = 4,
-                         dtype=jnp.bfloat16, interpret: bool = False):
+                         dtype=jnp.bfloat16, interpret=None):
     """[N,SEGS,4] clipped endpoints -> {0,1} raster [N,227,227,3] (NHWC).
 
     Drop-in replacement for rasterize.render_raster; N must be a multiple of
     `block` (the engine pads batches anyway). interpret=True runs the kernel
-    in the Pallas interpreter (CPU tests).
+    in the Pallas interpreter; default auto-interprets on CPU backends.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     n = endpoints.shape[0]
     assert n % block == 0, (n, block)
     grid = (n // block,)
