@@ -120,6 +120,8 @@ def run_config(workdir, genome, bam, weights, n_hosts, n_reads,
                                   options).keys())
     vcf = merge_all(options, chroms)
     merge_s = time.perf_counter() - t0
+    print(f"[hosts={n_hosts}] shard collect times: "
+          f"{[round(w, 3) for w in work_times]}, merge {merge_s:.3f}s")
     # wall clock for the sharded stage = slowest host; merge is host-0 serial
     return max(work_times) + merge_s, vcf
 

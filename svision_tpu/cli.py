@@ -19,7 +19,7 @@ import os
 import shutil
 import sys
 from time import localtime, strftime
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -203,67 +203,43 @@ def run_pipeline(options: Options) -> str:
     logging.info("**** Step1 Image coding and segmentation ****")
 
     segments_dir = os.path.join(work_dir, "segments")
-    jobs = []
-    results: List[WindowResult] = []
-    for chrom, task_list in tasks.items():
-        for part, (task_start, task_end) in enumerate(task_list):
+
+    def collect_chrom(chrom: str, pool) -> List[WindowResult]:
+        """All windows of one chromosome (cached / pooled / inline), with
+        the per-window retry (SURVEY.md §5.3)."""
+        pending = {}
+        chrom_results: List[Optional[WindowResult]] = []
+        for part, (task_start, task_end) in enumerate(tasks[chrom]):
             cached = (load_bed(segments_dir, chrom, part)
                       if options.resume else None)
             if cached is not None:
-                results.append(cached)
+                chrom_results.append(cached)
+            elif pool is not None:
+                fut = pool.submit(_collect_worker,
+                                  (options, options.bam_path, chrom, part,
+                                   task_start, task_end))
+                pending[len(chrom_results)] = fut
+                chrom_results.append(None)
             else:
-                jobs.append((options, options.bam_path, chrom, part,
-                             task_start, task_end))
-    if results:
-        logging.info("--resume: reloaded %d cached windows", len(results))
-
-    if options.thread_num > 1:
-        with concurrent.futures.ProcessPoolExecutor(
-                max_workers=options.thread_num) as pool:
-            results += list(pool.map(_collect_worker, jobs))
-    else:
-        for (_opts, bam_path, chrom, part, s, e) in jobs:
-            results.append(run_detect(options, bam_path, chrom, part, s, e,
-                                      bam=bam, ref=ref))
-
-    # one in-process retry per failed window (vs the reference's silent
-    # swallow, SVision:273-281 / SURVEY.md §5.3)
-    for i, r in enumerate(results):
-        if not r.error:
-            continue
-        logging.warning("window %s part %s failed, retrying: %s",
-                        r.chrom, r.part, r.error)
-        s, e = tasks[r.chrom][r.part]
-        results[i] = run_detect(options, options.bam_path, r.chrom, r.part,
-                                s, e, bam=bam, ref=ref)
-
-    failures = [r for r in results if r.error]
-    for r in failures:
-        logging.error("window %s part %s failed: %s", r.chrom, r.part, r.error)
-
-    # group candidates per chromosome in part order (the reference's
-    # bed-concat, SVision:283-290)
-    by_chrom: Dict[str, List] = {c: [] for c in tasks}
-    for res in sorted(results, key=lambda r: (list(tasks).index(r.chrom), r.part)):
-        by_chrom[res.chrom].extend(res.candidates)
-
-    if options.debug or options.resume:
-        dump_bed(results, segments_dir)
-
-    t_collect = datetime.datetime.now()
-    logging.info("[Coding finished]: Collect segment signatures, Cost time: %s",
-                 (t_collect - start_time).seconds)
+                chrom_results.append(run_detect(
+                    options, options.bam_path, chrom, part, task_start,
+                    task_end, bam=bam, ref=ref))
+        for idx, fut in pending.items():
+            chrom_results[idx] = fut.result()
+        for i, r in enumerate(chrom_results):
+            if not r.error:
+                continue
+            logging.warning("window %s part %s failed, retrying: %s",
+                            r.chrom, r.part, r.error)
+            s, e = tasks[r.chrom][r.part]
+            chrom_results[i] = run_detect(options, options.bam_path, r.chrom,
+                                          r.part, s, e, bam=bam, ref=ref)
+        return chrom_results
 
     from svision_tpu.utils.metrics import Metrics
     metrics = Metrics()
-    metrics.timers["collect"] = (t_collect - start_time).total_seconds()
-    metrics.count("windows", len(results))
-    metrics.count("windows_failed", len(failures))
-    metrics.count("signatures", sum(r.n_signatures for r in results))
-    metrics.count("clusters", sum(r.n_clusters for r in results))
-    metrics.count("candidates", sum(len(r.candidates) for r in results))
 
-    logging.info("**** Step2 CNN prediction ****")
+    logging.info("**** Step2 CNN prediction (pipelined with collection) ****")
     params = load_params(options.model_path)
     engine = InferenceEngine(params, batch_size=options.batch_size,
                              bf16=options.bf16)
@@ -272,16 +248,100 @@ def run_pipeline(options: Options) -> str:
     if options.profile_dir:
         import jax
         profile_ctx = jax.profiler.trace(options.profile_dir)
-    with metrics.timer("predict"), profile_ctx:
-        for chrom in tasks:
-            out_prefix = os.path.join(predict_results_dir,
-                                      f"{chrom}.predict.s{options.min_support}")
-            predict_chromosome(by_chrom[chrom], engine, out_prefix, bam, options)
-            metrics.count("images", len(by_chrom[chrom]))
+
+    # Producer/consumer pipeline (SURVEY.md §2.3 "PP"): window collection for
+    # chromosome k+1.. proceeds in the process pool while chromosome k's
+    # candidates run device inference. Per-chromosome ordering (and thus the
+    # VCF) is identical to the sequential schedule.
+    results: List[WindowResult] = []
+    pool = None
+    try:
+        if options.thread_num > 1:
+            pool = concurrent.futures.ProcessPoolExecutor(
+                max_workers=options.thread_num)
+        with profile_ctx:
+            chrom_iter = iter(tasks)
+            inflight: List = []   # [(chrom, [futures-or-results])]
+
+            def start_chrom(chrom):
+                if pool is not None:
+                    # submit all windows now; resolve later
+                    futs = []
+                    for part, (ts, te) in enumerate(tasks[chrom]):
+                        cached = (load_bed(segments_dir, chrom, part)
+                                  if options.resume else None)
+                        if cached is not None:
+                            futs.append(cached)
+                        else:
+                            futs.append(pool.submit(
+                                _collect_worker,
+                                (options, options.bam_path, chrom, part, ts, te)))
+                    inflight.append((chrom, futs))
+                else:
+                    inflight.append((chrom, None))
+
+            # prime the pipeline two chromosomes deep
+            for chrom in list(tasks)[:2] if options.thread_num > 1 else list(tasks)[:1]:
+                start_chrom(chrom)
+            started = len(inflight)
+            chrom_order = list(tasks)
+
+            for chrom in chrom_order:
+                if started < len(chrom_order):
+                    start_chrom(chrom_order[started])
+                    started += 1
+                entry = inflight.pop(0)
+                assert entry[0] == chrom
+                with metrics.timer("collect"):
+                    if entry[1] is None:
+                        chrom_results = collect_chrom(chrom, None)
+                    else:
+                        chrom_results = []
+                        for item in entry[1]:
+                            chrom_results.append(
+                                item.result()
+                                if isinstance(item, concurrent.futures.Future)
+                                else item)
+                        for i, r in enumerate(chrom_results):
+                            if not r.error:
+                                continue
+                            logging.warning("window %s part %s failed, "
+                                            "retrying: %s", r.chrom, r.part,
+                                            r.error)
+                            s, e = tasks[r.chrom][r.part]
+                            chrom_results[i] = run_detect(
+                                options, options.bam_path, r.chrom, r.part,
+                                s, e, bam=bam, ref=ref)
+                results.extend(chrom_results)
+                cands = []
+                for res in sorted(chrom_results, key=lambda r: r.part):
+                    cands.extend(res.candidates)
+
+                with metrics.timer("predict"):
+                    out_prefix = os.path.join(
+                        predict_results_dir,
+                        f"{chrom}.predict.s{options.min_support}")
+                    predict_chromosome(cands, engine, out_prefix, bam, options)
+                metrics.count("images", len(cands))
+    finally:
+        if pool is not None:
+            pool.shutdown()
+
+    failures = [r for r in results if r.error]
+    for r in failures:
+        logging.error("window %s part %s failed: %s", r.chrom, r.part, r.error)
+
+    if options.debug or options.resume:
+        dump_bed(results, segments_dir)
 
     t_predict = datetime.datetime.now()
-    logging.info("[Prediction finished]: Predicting types, Cost time: %s",
-                 (t_predict - t_collect).seconds)
+    logging.info("[Prediction finished] Cost time: %s",
+                 (t_predict - start_time).seconds)
+    metrics.count("windows", len(results))
+    metrics.count("windows_failed", len(failures))
+    metrics.count("signatures", sum(r.n_signatures for r in results))
+    metrics.count("clusters", sum(r.n_clusters for r in results))
+    metrics.count("candidates", sum(len(r.candidates) for r in results))
     metrics.count("images_per_s", metrics.rate("images", "predict"))
     logging.info("%s", metrics.summary())
 

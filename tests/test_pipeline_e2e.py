@@ -74,6 +74,14 @@ def test_determinism(workspace, tmp_path):
     assert _records(v1) == _records(v2)
 
 
+def test_threaded_pipeline_matches_sequential(workspace, tmp_path):
+    """-t 2 (process-pool collection overlapped with device inference)
+    produces the same VCF as the sequential schedule."""
+    v1 = _run(workspace, str(tmp_path / "seq"))
+    v2 = _run(workspace, str(tmp_path / "par"), extra=["-t", "2"])
+    assert _records(v1) == _records(v2)
+
+
 def test_region_mode(workspace, tmp_path):
     # -c chr1 restricts to one chromosome and still calls
     vcf = _run(workspace, str(tmp_path / "o3"), extra=["-c", "chr1"])
