@@ -88,6 +88,21 @@ def test_region_mode(workspace, tmp_path):
     assert len(_records(vcf)) >= 2
 
 
+def test_graph_mode(workspace, tmp_path):
+    """--graph: per-read GFA dump + CSV graph VCF (BASELINE config 4)."""
+    vcf = _run(workspace, str(tmp_path / "og"), extra=["--graph"])
+    assert vcf.endswith(".graph.vcf") and os.path.exists(vcf)
+    recs = _records(vcf)
+    assert recs
+    for r in recs:
+        assert "GraphID=" in r[7], r
+    # plain VCF was replaced by the graph VCF (SVision:348-358)
+    assert not os.path.exists(vcf.replace(".graph.vcf", ".vcf"))
+    # header advertises the graph INFO fields
+    head = open(vcf).read()
+    assert "GFA_S" in head and "GFA_L" in head
+
+
 def test_resume_cache(workspace, tmp_path):
     """--resume: second run reloads cached candidate beds and produces an
     identical VCF (SURVEY.md §5.4)."""
