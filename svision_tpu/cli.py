@@ -79,6 +79,15 @@ def parse_arguments(arguments=None) -> Options:
     opt.add_argument("--profile", dest="profile_dir", type=str, default=None,
                      help="Write a jax.profiler trace of the prediction "
                      "stage to this directory")
+    opt.add_argument("--mechanism", action="store_true", default=False,
+                     help="Annotate MECHANISM with RepeatMasker/TRF TE/VNTR "
+                     "evidence (the reference's commented v2.0 pipeline, "
+                     "SVision:64-69,380-394)")
+    opt.add_argument("--rpmask", type=str, default="RepeatMasker",
+                     help="Path to the RepeatMasker binary (default: "
+                     "%(default)s)")
+    opt.add_argument("--trf", type=str, default="trf",
+                     help="Path to the TRF binary (default: %(default)s)")
 
     col = parser.add_argument_group("Collect parameters")
     col.add_argument("--min_mapq", type=int, default=10)
@@ -368,6 +377,19 @@ def run_pipeline(options: Options) -> str:
         os.remove(merged_vcf_path)
         final_vcf = os.path.join(
             work_dir, f"{options.sample}.svision.s{options.min_support}.graph.vcf")
+
+    if options.mechanism:
+        from svision_tpu.call.annotation import annotate_mechanisms
+        logging.info("**** Step4 Mechanism annotation ****")
+        mech_dir = os.path.join(work_dir, "mechanism_out")
+        rpmask_bin = shutil.which(options.rpmask)
+        trf_bin = shutil.which(options.trf)
+        if not rpmask_bin and not trf_bin:
+            logging.warning("RepeatMasker/TRF binaries not found; parsing "
+                            "pre-existing outputs under %s only", mech_dir)
+        final_vcf = annotate_mechanisms(final_vcf, mech_dir, options,
+                                        rpmask_bin=rpmask_bin,
+                                        trf_bin=trf_bin)
 
     if not options.debug:
         shutil.rmtree(predict_results_dir, ignore_errors=True)

@@ -63,6 +63,10 @@ class Options:
     resume: bool = False
     # jax.profiler trace directory for the prediction stage.
     profile_dir: Optional[str] = None
+    # v2.0 mechanism annotation (SVision:64-69, commented in the reference).
+    mechanism: bool = False
+    rpmask: str = "RepeatMasker"
+    trf: str = "trf"
 
     def normalized(self) -> "Options":
         """Apply the reference's dynamic overrides (SVision:161-162)."""

@@ -103,6 +103,18 @@ def test_graph_mode(workspace, tmp_path):
     assert "GFA_S" in head and "GFA_L" in head
 
 
+def test_mechanism_mode(workspace, tmp_path):
+    """--mechanism: v2.0 annotation step emits the mechanism VCF; without
+    RepeatMasker/TRF binaries every record gains MECHANISM from the
+    CIGAR-derived default."""
+    vcf = _run(workspace, str(tmp_path / "om"), extra=["--mechanism"])
+    assert os.path.basename(vcf).endswith(".mechanism.vcf")
+    recs = _records(vcf)
+    assert recs
+    for r in recs:
+        assert "MECHANISM=" in r[7], r
+
+
 def test_resume_cache(workspace, tmp_path):
     """--resume: second run reloads cached candidate beds and produces an
     identical VCF (SURVEY.md §5.4)."""
