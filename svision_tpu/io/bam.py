@@ -55,7 +55,47 @@ class BamRecordRaw:
         out = []
         for v in struct.unpack_from(f"<{self.n_cigar}I", self.buf, off):
             out.append((v & 0xF, v >> 4))
+        # long-CIGAR records (>65535 ops) store a placeholder kSmN cigar and
+        # the real ops in the CG:B,I aux tag (SAM spec §4.2.2)
+        if (len(out) == 2 and out[0][0] == 4 and out[0][1] == self.l_seq
+                and out[1][0] == 3):
+            cg = self._cg_ops()
+            if cg is not None:
+                return [(v & 0xF, v >> 4) for v in cg]
         return out
+
+    def _cg_ops(self) -> Optional[List[int]]:
+        """Raw uint32 ops from the CG:B,I aux tag, or None."""
+        buf = self.buf
+        off = (32 + self.l_read_name + 4 * self.n_cigar
+               + (self.l_seq + 1) // 2 + self.l_seq)
+        n = len(buf)
+        sizes = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+        while off + 3 <= n:
+            tag = buf[off:off + 2]
+            typ = chr(buf[off + 2])
+            off += 3
+            if typ == "B":
+                sub = chr(buf[off])
+                cnt = struct.unpack_from("<i", buf, off + 1)[0]
+                data_off = off + 5
+                if tag == b"CG" and sub == "I":
+                    return list(struct.unpack_from(f"<{cnt}I", buf, data_off))
+                off = data_off + cnt * sizes.get(sub, 1)
+            elif typ in "AcC":
+                off += 1
+            elif typ in "sS":
+                off += 2
+            elif typ in "iIf":
+                off += 4
+            elif typ in "ZH":
+                end = buf.find(b"\x00", off)
+                if end < 0:
+                    return None
+                off = end + 1
+            else:
+                return None
+        return None
 
     def ref_span(self) -> int:
         return sum(ln for op, ln in self.cigar_raw() if _REF_CONSUME[op])

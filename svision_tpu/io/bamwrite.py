@@ -74,6 +74,16 @@ def _encode_record(rec: SamRecord, tid: int) -> bytes:
             num = 0
     seq = rec.seq or ""
     l_seq = len(seq)
+    tags = rec.tags
+    if len(cigar_ops) > 0xFFFF:
+        # SAM spec §4.2.2: placeholder kSmN cigar + real ops in CG:B,I
+        ref_span = sum((v >> 4) for v in cigar_ops
+                       if CIGAR_OPS[v & 0xF] in _REF_CONSUME)
+        real = cigar_ops
+        cigar_ops = [(l_seq << 4) | _OP_CODE["S"],
+                     (ref_span << 4) | _OP_CODE["N"]]
+        tags = (tags + b"CGBI" + struct.pack("<i", len(real))
+                + struct.pack(f"<{len(real)}I", *real))
     packed = bytearray()
     for i in range(0, l_seq, 2):
         hi = _NT_CODE.get(seq[i], 15)
@@ -88,7 +98,7 @@ def _encode_record(rec: SamRecord, tid: int) -> bytes:
         -1, -1, 0)
     body += name
     body += struct.pack(f"<{len(cigar_ops)}I", *cigar_ops)
-    body += bytes(packed) + qual + rec.tags
+    body += bytes(packed) + qual + tags
     return struct.pack("<i", len(body)) + body
 
 

@@ -144,10 +144,59 @@ int parse_record(const uint8_t* buf, int size, int tid, int64_t start,
     if ((int64_t)pos >= end) return 2;
   }
   const uint8_t* cig = buf + 32 + l_read_name;
+  // long-CIGAR records (>65535 ops): placeholder kSmN cigar, real ops in the
+  // CG:B,I aux tag (SAM spec 4.2.2)
+  const uint8_t* cg_ops = nullptr;
+  int32_t cg_n = 0;
+  if (n_cigar == 2) {
+    uint32_t op0 = rd_u32(cig), op1 = rd_u32(cig + 4);
+    if ((op0 & 0xf) == 4 /*S*/ && (int32_t)(op0 >> 4) == l_seq &&
+        (op1 & 0xf) == 3 /*N*/) {
+      const uint8_t* aux =
+          cig + 4 * n_cigar + (l_seq + 1) / 2 + l_seq;
+      const uint8_t* lim = buf + size;
+      while (aux + 3 <= lim) {
+        char t0 = (char)aux[0], t1 = (char)aux[1], typ = (char)aux[2];
+        aux += 3;
+        if (typ == 'B') {
+          if (aux + 5 > lim) break;
+          char sub = (char)aux[0];
+          int32_t cnt = rd_i32(aux + 1);
+          const uint8_t* data = aux + 5;
+          int esz = (sub == 'c' || sub == 'C') ? 1
+                    : (sub == 's' || sub == 'S') ? 2 : 4;
+          if (t0 == 'C' && t1 == 'G' && sub == 'I') {
+            cg_ops = data;
+            cg_n = cnt;
+            break;
+          }
+          aux = data + (int64_t)cnt * esz;
+        } else if (typ == 'A' || typ == 'c' || typ == 'C') {
+          aux += 1;
+        } else if (typ == 's' || typ == 'S') {
+          aux += 2;
+        } else if (typ == 'i' || typ == 'I' || typ == 'f') {
+          aux += 4;
+        } else if (typ == 'Z' || typ == 'H') {
+          while (aux < lim && *aux) aux++;
+          aux++;
+        } else {
+          break;
+        }
+      }
+    }
+  }
   int64_t ref_span = 0;
-  for (int i = 0; i < n_cigar; i++) {
-    uint32_t v = rd_u32(cig + 4 * i);
-    if (REF_CONSUME[v & 0xf]) ref_span += v >> 4;
+  if (cg_ops) {
+    for (int i = 0; i < cg_n; i++) {
+      uint32_t v = rd_u32(cg_ops + 4 * i);
+      if (REF_CONSUME[v & 0xf]) ref_span += v >> 4;
+    }
+  } else {
+    for (int i = 0; i < n_cigar; i++) {
+      uint32_t v = rd_u32(cig + 4 * i);
+      if (REF_CONSUME[v & 0xf]) ref_span += v >> 4;
+    }
   }
   int64_t epos = pos + (ref_span > 0 ? ref_span : 1);
   if (tid >= 0 && epos <= start) return 0;
@@ -163,8 +212,13 @@ int parse_record(const uint8_t* buf, int size, int tid, int64_t start,
                         (const char*)(buf + 32 + l_read_name - 1));
   out->qname_off.push_back((int64_t)out->qname_buf.size());
 
-  for (int i = 0; i < n_cigar; i++)
-    out->cigar_buf.push_back(rd_u32(cig + 4 * i));
+  if (cg_ops) {
+    for (int i = 0; i < cg_n; i++)
+      out->cigar_buf.push_back(rd_u32(cg_ops + 4 * i));
+  } else {
+    for (int i = 0; i < n_cigar; i++)
+      out->cigar_buf.push_back(rd_u32(cig + 4 * i));
+  }
   out->cigar_off.push_back((int64_t)out->cigar_buf.size());
 
   if (decode_seq && l_seq > 0) {
