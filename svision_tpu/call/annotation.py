@@ -204,10 +204,14 @@ def parse_trf(trf_file: str) -> Union[int, str]:
     for ele in contents[0].replace(" ", "").strip().split("\n"):
         if "Sequence" in ele:
             sv_region_str = ele.split(":", 1)[1]
-    parts = sv_region_str.split("-")
+    # rsplit: contig names may themselves contain '-' (e.g. GRCh38 HLA-DRB1*)
+    parts = sv_region_str.rsplit("-", 2)
     if len(parts) < 3:
         return -1
-    sv_size = int(parts[2]) - int(parts[1]) + 1
+    try:
+        sv_size = int(parts[2]) - int(parts[1]) + 1
+    except ValueError:
+        return -1
 
     # "no repeat found" reports carry no repeat block (the reference gates on
     # bs4's contents length, annotation.py:178-179; the semantic condition is

@@ -25,8 +25,9 @@ import numpy as np
 
 from svision_tpu import __version__, REFERENCE_VERSION
 from svision_tpu.config import Options
-from svision_tpu.collect.window import (WindowResult, dump_bed, load_bed,
-                                        run_detect)
+from svision_tpu.collect.window import (WindowResult, cache_valid, dump_bed,
+                                        load_bed, run_detect,
+                                        write_cache_params)
 from svision_tpu.io.bam import BamReader
 from svision_tpu.io.fasta import FastaFile
 
@@ -212,38 +213,50 @@ def run_pipeline(options: Options) -> str:
     logging.info("**** Step1 Image coding and segmentation ****")
 
     segments_dir = os.path.join(work_dir, "segments")
+    resume_cache = options.resume and cache_valid(segments_dir, options)
+    if options.resume and not resume_cache and os.path.isdir(segments_dir):
+        logging.warning("--resume: cached beds were produced with different "
+                        "collection parameters; recomputing all windows")
 
-    def collect_chrom(chrom: str, pool) -> List[WindowResult]:
-        """All windows of one chromosome (cached / pooled / inline), with
-        the per-window retry (SURVEY.md §5.3)."""
-        pending = {}
-        chrom_results: List[Optional[WindowResult]] = []
-        for part, (task_start, task_end) in enumerate(tasks[chrom]):
+    def start_chrom(chrom: str, pool):
+        """Submit (or inline-defer) a chromosome's windows; returns a list of
+        cached WindowResults, Futures, or window specs to run inline."""
+        items = []
+        for part, (ts, te) in enumerate(tasks[chrom]):
             cached = (load_bed(segments_dir, chrom, part)
-                      if options.resume else None)
+                      if resume_cache else None)
             if cached is not None:
-                chrom_results.append(cached)
+                items.append(cached)
             elif pool is not None:
-                fut = pool.submit(_collect_worker,
-                                  (options, options.bam_path, chrom, part,
-                                   task_start, task_end))
-                pending[len(chrom_results)] = fut
-                chrom_results.append(None)
+                items.append(pool.submit(
+                    _collect_worker,
+                    (options, options.bam_path, chrom, part, ts, te)))
             else:
-                chrom_results.append(run_detect(
-                    options, options.bam_path, chrom, part, task_start,
-                    task_end, bam=bam, ref=ref))
-        for idx, fut in pending.items():
-            chrom_results[idx] = fut.result()
-        for i, r in enumerate(chrom_results):
+                items.append((chrom, part, ts, te))
+        return items
+
+    def resolve_chrom(items) -> List[WindowResult]:
+        """Materialize start_chrom's items, with the per-window retry
+        (SURVEY.md §5.3)."""
+        out: List[WindowResult] = []
+        for item in items:
+            if isinstance(item, WindowResult):
+                out.append(item)
+            elif isinstance(item, concurrent.futures.Future):
+                out.append(item.result())
+            else:
+                chrom, part, ts, te = item
+                out.append(run_detect(options, options.bam_path, chrom, part,
+                                      ts, te, bam=bam, ref=ref))
+        for i, r in enumerate(out):
             if not r.error:
                 continue
             logging.warning("window %s part %s failed, retrying: %s",
                             r.chrom, r.part, r.error)
             s, e = tasks[r.chrom][r.part]
-            chrom_results[i] = run_detect(options, options.bam_path, r.chrom,
-                                          r.part, s, e, bam=bam, ref=ref)
-        return chrom_results
+            out[i] = run_detect(options, options.bam_path, r.chrom, r.part,
+                                s, e, bam=bam, ref=ref)
+        return out
 
     from svision_tpu.utils.metrics import Metrics
     metrics = Metrics()
@@ -269,58 +282,22 @@ def run_pipeline(options: Options) -> str:
             pool = concurrent.futures.ProcessPoolExecutor(
                 max_workers=options.thread_num)
         with profile_ctx:
-            chrom_iter = iter(tasks)
-            inflight: List = []   # [(chrom, [futures-or-results])]
-
-            def start_chrom(chrom):
-                if pool is not None:
-                    # submit all windows now; resolve later
-                    futs = []
-                    for part, (ts, te) in enumerate(tasks[chrom]):
-                        cached = (load_bed(segments_dir, chrom, part)
-                                  if options.resume else None)
-                        if cached is not None:
-                            futs.append(cached)
-                        else:
-                            futs.append(pool.submit(
-                                _collect_worker,
-                                (options, options.bam_path, chrom, part, ts, te)))
-                    inflight.append((chrom, futs))
-                else:
-                    inflight.append((chrom, None))
-
-            # prime the pipeline two chromosomes deep
-            for chrom in list(tasks)[:2] if options.thread_num > 1 else list(tasks)[:1]:
-                start_chrom(chrom)
-            started = len(inflight)
             chrom_order = list(tasks)
+            inflight: List = []   # [(chrom, items)] in chrom_order
+            depth = 2 if pool is not None else 1
+            for chrom in chrom_order[:depth]:
+                inflight.append((chrom, start_chrom(chrom, pool)))
+            started = len(inflight)
 
             for chrom in chrom_order:
                 if started < len(chrom_order):
-                    start_chrom(chrom_order[started])
+                    nxt = chrom_order[started]
+                    inflight.append((nxt, start_chrom(nxt, pool)))
                     started += 1
-                entry = inflight.pop(0)
-                assert entry[0] == chrom
+                entry_chrom, items = inflight.pop(0)
+                assert entry_chrom == chrom
                 with metrics.timer("collect"):
-                    if entry[1] is None:
-                        chrom_results = collect_chrom(chrom, None)
-                    else:
-                        chrom_results = []
-                        for item in entry[1]:
-                            chrom_results.append(
-                                item.result()
-                                if isinstance(item, concurrent.futures.Future)
-                                else item)
-                        for i, r in enumerate(chrom_results):
-                            if not r.error:
-                                continue
-                            logging.warning("window %s part %s failed, "
-                                            "retrying: %s", r.chrom, r.part,
-                                            r.error)
-                            s, e = tasks[r.chrom][r.part]
-                            chrom_results[i] = run_detect(
-                                options, options.bam_path, r.chrom, r.part,
-                                s, e, bam=bam, ref=ref)
+                    chrom_results = resolve_chrom(items)
                 results.extend(chrom_results)
                 cands = []
                 for res in sorted(chrom_results, key=lambda r: r.part):
@@ -342,6 +319,8 @@ def run_pipeline(options: Options) -> str:
 
     if options.debug or options.resume:
         dump_bed(results, segments_dir)
+        if options.resume:
+            write_cache_params(segments_dir, options)
 
     t_predict = datetime.datetime.now()
     logging.info("[Prediction finished] Cost time: %s",

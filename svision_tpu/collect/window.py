@@ -85,11 +85,45 @@ def run_detect(options, bam_path: str, chrom: str, part: int, start: int,
         return result
 
 
+_COLLECT_KEYS = ("min_support", "min_mapq", "min_sv_size", "max_sv_size",
+                 "window_size", "patition_max_distance",
+                 "cluster_max_distance", "hash", "contig", "graph", "chrom",
+                 "k_size", "min_accept", "max_hash_len")
+
+
+def collect_signature(options) -> str:
+    """Canonical string of every option that affects candidate emission —
+    the --resume cache key."""
+    import json
+    return json.dumps({k: getattr(options, k) for k in _COLLECT_KEYS},
+                      sort_keys=True)
+
+
+def cache_valid(out_dir: str, options) -> bool:
+    """True when the cached beds under out_dir were produced with the same
+    collection parameters."""
+    sidecar = os.path.join(out_dir, ".collect_params.json")
+    if not os.path.exists(sidecar):
+        return False
+    with open(sidecar) as fh:
+        return fh.read() == collect_signature(options)
+
+
+def write_cache_params(out_dir: str, options) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, ".collect_params.json"), "w") as fh:
+        fh.write(collect_signature(options))
+
+
 def dump_bed(results: List[WindowResult], out_dir: str) -> None:
     """--debug/--resume: write per-part bed files byte-compatible with the
     reference's {chr}.segments.{part}.bed (output_clusters.py:83-89)."""
     os.makedirs(out_dir, exist_ok=True)
     for res in results:
+        if res.error:
+            # a failed window must never be cached as a valid empty result —
+            # resume would silently drop every SV in it forever
+            continue
         path = os.path.join(out_dir, f"{res.chrom}.segments.{res.part}.bed")
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:

@@ -115,19 +115,41 @@ class InferenceEngine:
     def _run_params(self):
         return self.folded_params if self.fast else self.params
 
+    _SENTINEL = np.array([[0, 1, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2]],
+                         dtype=np.int64)   # create_batch.py:55
+
+    def _pad(self, specs: np.ndarray, multiple: int) -> np.ndarray:
+        pad = (-specs.shape[0]) % multiple
+        if pad:
+            specs = np.concatenate(
+                [specs, np.repeat(self._SENTINEL, pad, 0)], 0)
+        return specs
+
     def predict_specs(self, specs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """specs [N,12] -> (pred_ids [N], softmax_sel [N]); N arbitrary."""
         n = specs.shape[0]
         if n == 0:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         bs = self.batch_size
+
+        if n <= bs:
+            # single-batch fast path: don't pad a handful of candidates up to
+            # a whole super-chunk (common for small chromosomes)
+            specs = self._pad(specs, bs)
+            ep, vis, rev = rasterize.specs_to_endpoints(specs)
+            if self.fast:
+                p, s = _device_step_fast(self.folded_params, jnp.asarray(ep),
+                                         jnp.asarray(vis), jnp.asarray(rev),
+                                         compute_dtype=self.compute_dtype,
+                                         raster_kind=self.raster)
+            else:
+                p, s = _device_step(self.params, jnp.asarray(ep),
+                                    jnp.asarray(vis), jnp.asarray(rev),
+                                    compute_dtype=self.compute_dtype)
+            return np.asarray(p)[:n], np.asarray(s)[:n]
+
         super_bs = bs * self.chunk
-        pad = (-n) % super_bs
-        if pad:
-            # reference sentinel spec (create_batch.py:55)
-            sentinel = np.array([[0, 1, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2]],
-                                dtype=np.int64)
-            specs = np.concatenate([specs, np.repeat(sentinel, pad, 0)], 0)
+        specs = self._pad(specs, super_bs)
         ep, vis, rev = rasterize.specs_to_endpoints(specs)
         m = specs.shape[0]
         outs = []

@@ -79,6 +79,9 @@ class BamRecordRaw:
                 sub = chr(buf[off])
                 cnt = struct.unpack_from("<i", buf, off + 1)[0]
                 data_off = off + 5
+                # file-supplied count: reject negative/oversized values
+                if cnt < 0 or data_off + cnt * sizes.get(sub, 1) > n:
+                    return None
                 if tag == b"CG" and sub == "I":
                     return list(struct.unpack_from(f"<{cnt}I", buf, data_off))
                 off = data_off + cnt * sizes.get(sub, 1)

@@ -165,6 +165,9 @@ int parse_record(const uint8_t* buf, int size, int tid, int64_t start,
           const uint8_t* data = aux + 5;
           int esz = (sub == 'c' || sub == 'C') ? 1
                     : (sub == 's' || sub == 'S') ? 2 : 4;
+          // counts come from the file: reject negative (infinite loop) and
+          // oversized (OOB read) values
+          if (cnt < 0 || data + (int64_t)cnt * esz > lim) break;
           if (t0 == 'C' && t1 == 'G' && sub == 'I') {
             cg_ops = data;
             cg_n = cnt;

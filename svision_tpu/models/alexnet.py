@@ -110,16 +110,15 @@ def _maxpool(x: jax.Array) -> jax.Array:
         jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
 
 
-def forward(params: Params, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
-    """Logits for a batch of NHWC [N,227,227,3] mean-subtracted images.
-
-    compute_dtype=jnp.bfloat16 runs convs/matmuls on the MXU in bf16 with f32
-    accumulation; logits are returned in f32 either way.
-    """
-    h = x.astype(compute_dtype)
+def _backbone(params: Params, h: jax.Array, compute_dtype,
+              conv1_s2d: bool = False) -> jax.Array:
+    """Shared conv+fc stack. conv1_s2d=True consumes the space-to-depth
+    input form (conv1 becomes 3x3 stride-1; see fold_conv1_params)."""
     for name, _, _, _, stride, padding, groups in _CONV_SPECS:
         w = params[f"{name}/weights"].astype(compute_dtype)
         b = params[f"{name}/biases"].astype(jnp.float32)
+        if conv1_s2d and name == "conv1":
+            stride, padding = 1, "VALID"
         h = jax.lax.conv_general_dilated(
             h, w,
             window_strides=(stride, stride),
@@ -144,6 +143,15 @@ def forward(params: Params, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.A
         if name != "fc8":
             h = jax.nn.relu(h).astype(compute_dtype)
     return h  # f32 logits
+
+
+def forward(params: Params, x: jax.Array, *, compute_dtype=jnp.float32) -> jax.Array:
+    """Logits for a batch of NHWC [N,227,227,3] mean-subtracted images.
+
+    compute_dtype=jnp.bfloat16 runs convs/matmuls on the MXU in bf16 with f32
+    accumulation; logits are returned in f32 either way.
+    """
+    return _backbone(params, x.astype(compute_dtype), compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -209,35 +217,7 @@ def forward_raster(folded_params: Params, raster: jax.Array, *,
     (fold_conv1_params). Numerically equivalent to
     forward(params, raster*255 - IMAGE_MEAN)."""
     h = _space_to_depth(raster.astype(compute_dtype))
-    for name, _, _, _, stride, padding, groups in _CONV_SPECS:
-        w = folded_params[f"{name}/weights"].astype(compute_dtype)
-        b = folded_params[f"{name}/biases"].astype(jnp.float32)
-        if name == "conv1":
-            stride, padding = 1, "VALID"    # space-to-depth form
-        h = jax.lax.conv_general_dilated(
-            h, w,
-            window_strides=(stride, stride),
-            padding=padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=groups,
-            preferred_element_type=jnp.float32,
-        )
-        h = jax.nn.relu(h + b)
-        if name in ("conv1", "conv2"):
-            h = _maxpool(h)
-            h = lrn(h)
-        elif name == "conv5":
-            h = _maxpool(h)
-        h = h.astype(compute_dtype)
-
-    h = h.reshape(h.shape[0], -1)
-    for name, _, _ in _FC_SPECS:
-        w = folded_params[f"{name}/weights"].astype(compute_dtype)
-        b = folded_params[f"{name}/biases"].astype(jnp.float32)
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
-        if name != "fc8":
-            h = jax.nn.relu(h).astype(compute_dtype)
-    return h
+    return _backbone(folded_params, h, compute_dtype, conv1_s2d=True)
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype",))

@@ -198,13 +198,15 @@ def run_cohort(samples: Dict[str, str], options: Options,
     my_shard = 0 if shard_id is None else shard_id
     run_cohort_shard(samples, options, my_shard, num_shards)
 
-    if my_shard != 0:
-        return ""
+    # the barrier is a collective: EVERY shard must enter it before the
+    # non-zero shards return, or shard 0 blocks forever
     if num_shards > 1:
         import jax
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("svision_cohort_merge")
+    if my_shard != 0:
+        return ""
     per_sample = merge_cohort_samples(samples, options)
     out = os.path.join(
         options.out_path,

@@ -125,8 +125,11 @@ def test_resume_cache(workspace, tmp_path):
     assert os.path.isdir(seg_dir) and os.listdir(seg_dir)
     # candidate bed round-trip
     from svision_tpu.collect.candidates import Candidate
-    line = open(os.path.join(seg_dir, os.listdir(seg_dir)[0])).readline()
+    bed = [f for f in os.listdir(seg_dir) if f.endswith(".bed")][0]
+    line = open(os.path.join(seg_dir, bed)).readline()
     assert Candidate.from_bed_line(line).to_bed_line() == line
+    # parameter sidecar guards the cache (stale-params findings)
+    assert os.path.exists(os.path.join(seg_dir, ".collect_params.json"))
 
     v2 = _run(workspace, outdir, extra=["--resume"])
     assert _records(v2) == r1
