@@ -65,7 +65,7 @@ RPMASK_TBL_EMPTY = RPMASK_TBL.replace(
 def _trf_html(blocks, region="chr20-5453209-5453361"):
     """Minimal TRF .html report: one <pre> whose contents alternate text and
     anchor tags, mirroring what soup.find('pre').contents yields."""
-    start, end = (int(x) for x in region.split("-")[1:3])
+    start, end = (int(x) for x in region.rsplit("-", 2)[1:3])
     head = (f"Sequence: {region}\n\n"
             f"Parameters: 2 7 7 80 10 50 500\n\n"
             f"Length: {end - start + 1}\n")
@@ -137,6 +137,15 @@ def test_parse_trf_vntr_and_empty(tmp_path):
     empty = tmp_path / "e.fa.2.7.7.80.10.50.500.1.txt.html"
     empty.write_text("<HTML><BODY><PRE>Sequence: chr1-10-20\n</PRE></BODY></HTML>")
     assert annotation.parse_trf(str(empty)) == -1
+
+
+def test_parse_trf_hyphenated_contig(tmp_path):
+    """GRCh38 ALT/HLA contigs contain '-'; the region parse must rsplit."""
+    html = tmp_path / "h.fa.2.7.7.80.10.50.500.1.txt.html"
+    html.write_text(_trf_html([("ATTCG", 120)],
+                              region="HLA-DRB1*13:01:01-2000-2152"))
+    got = annotation.parse_trf(str(html))
+    assert isinstance(got, str) and got.startswith("STRs:")
 
 
 def test_annotate_mechanisms(tmp_path):

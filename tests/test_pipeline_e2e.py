@@ -103,6 +103,13 @@ def test_graph_mode(workspace, tmp_path):
     assert "GFA_S" in head and "GFA_L" in head
 
 
+def test_hash_mode(workspace, tmp_path):
+    """--hash: k-mer realignment of unmapped/inserted sequence stays green
+    end-to-end and still calls the planted loci."""
+    vcf = _run(workspace, str(tmp_path / "oh"), extra=["--hash"])
+    assert len(_records(vcf)) >= 2
+
+
 def test_mechanism_mode(workspace, tmp_path):
     """--mechanism: v2.0 annotation step emits the mechanism VCF; without
     RepeatMasker/TRF binaries every record gains MECHANISM from the
