@@ -54,10 +54,11 @@ def exchange_score_minmax(local_scores: np.ndarray) -> Tuple[float, float]:
     import jax
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
-        pad = np.array([np.inf, -np.inf], dtype=np.float64)
-        local = np.concatenate([np.asarray(local_scores, np.float64), pad])
-        # fixed-size summary per host: (min, max)
-        summary = np.array([local.min(), local.max()])
+        local = np.asarray(local_scores, np.float64)
+        # fixed-size summary per host: (min, max); identity elements keep
+        # empty shards neutral without corrupting the other side
+        summary = np.array([local.min(initial=np.inf),
+                            local.max(initial=-np.inf)])
         gathered = multihost_utils.process_allgather(summary)
         return float(gathered[:, 0].min()), float(gathered[:, 1].max())
     if local_scores.size == 0:
