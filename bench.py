@@ -42,18 +42,18 @@ def random_specs(n, seed=0):
     return specs
 
 
-def measure_tpu(batch_size=256, n_batches=32, seed=0):
+def measure_tpu(batch_size=128, n_batches=512, seed=0):
     import jax
     from svision_tpu.infer.engine import InferenceEngine
     from svision_tpu.models import alexnet
 
     params = alexnet.init_params(jax.random.PRNGKey(0))
     engine = InferenceEngine(params, batch_size=batch_size, bf16=True,
-                             fast=True, chunk=8)
+                             fast=True, chunk=64)
 
     specs = random_specs(batch_size * n_batches, seed)
-    # warmup/compile
-    engine.predict_specs(specs[:batch_size])
+    # warmup/compile the exact super-chunk shape the measurement uses
+    engine.predict_specs(specs[:batch_size * engine.chunk])
     t0 = time.perf_counter()
     engine.predict_specs(specs)
     dt = time.perf_counter() - t0
