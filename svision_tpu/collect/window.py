@@ -11,6 +11,8 @@ from __future__ import annotations
 import logging
 import os
 import traceback
+
+import numpy as np
 from dataclasses import dataclass, field
 from typing import List, Optional
 
@@ -45,14 +47,30 @@ def run_detect(options, bam_path: str, chrom: str, part: int, start: int,
         if ref is None:
             ref = FastaFile(options.genome)
 
-        aligns = bam.fetch(chrom, start, end)
+        aligns = list(bam.fetch(chrom, start, end))
         sigs = analyze_alignments(aligns, options, ref)
         result.n_signatures = len(sigs)
         logging.info("Processing %s:%s-%s, %s signatures", chrom, start, end,
                      len(sigs))
 
+        # Window-resident coverage counting: any cluster span inside
+        # [start, end] only overlaps reads the window fetch already returned,
+        # so counting is a vectorized scan over the in-memory spans instead
+        # of a fresh BAM fetch per cluster (classes.py:165-170 re-opens the
+        # BAM each time). Spans sticking out of the window fall back to the
+        # indexed count.
+        pos = np.fromiter((a.reference_start for a in aligns), np.int64,
+                          len(aligns))
+        endpos = np.fromiter((a.reference_end for a in aligns), np.int64,
+                             len(aligns))
+
+        def coverage_counter(contig: str, cstart: int, cend: int) -> int:
+            if contig == chrom and cstart >= start and cend <= end:
+                return int(np.count_nonzero((pos < cend) & (endpos > cstart)))
+            return bam.count_overlapping(contig, cstart, cend)
+
         clusters = partition_and_cluster(
-            sigs, chrom, bam.count_overlapping, options,
+            sigs, chrom, coverage_counter, options,
             logger=logging.getLogger())
         result.n_clusters = len(clusters)
 

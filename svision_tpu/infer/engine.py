@@ -164,15 +164,22 @@ class InferenceEngine:
 
         specs = self._pad(specs, bs * sum(chunks))
         ep, vis, rev = rasterize.specs_to_endpoints(specs)
+        # ONE host->device transfer per array; per-chunk slice+reshape happen
+        # device-side (async dispatch). Per-transfer round-trip latency on a
+        # tunneled link dominates the tiny payload (~36 B/spec), so 3
+        # transfers total instead of 3 per super-chunk.
+        ep_d = jnp.asarray(ep)
+        vis_d = jnp.asarray(vis)
+        rev_d = jnp.asarray(rev)
         outs = []
         i = 0
         for c in chunks:
             sb = c * bs
             outs.append(_device_step_many(
                 self._run_params,
-                jnp.asarray(ep[i:i + sb].reshape(c, bs, *ep.shape[1:])),
-                jnp.asarray(vis[i:i + sb].reshape(c, bs, *vis.shape[1:])),
-                jnp.asarray(rev[i:i + sb].reshape(c, bs, *rev.shape[1:])),
+                ep_d[i:i + sb].reshape(c, bs, *ep.shape[1:]),
+                vis_d[i:i + sb].reshape(c, bs, *vis.shape[1:]),
+                rev_d[i:i + sb].reshape(c, bs, *rev.shape[1:]),
                 compute_dtype=self.compute_dtype, fast=self.fast,
                 raster_kind=self.raster))
             i += sb

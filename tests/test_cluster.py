@@ -92,3 +92,31 @@ def test_partition_and_cluster_end_to_end():
     assert clusters[1].read_num == 4
     assert clusters[0].coverage == 42
     assert clusters[0].cstart < clusters[1].cstart
+
+
+def test_window_resident_coverage_counter(tmp_path):
+    """run_detect's in-memory overlap count must equal a fresh indexed BAM
+    count for spans inside the window (and both must match fetch semantics:
+    pos < end and end_pos > start)."""
+    import numpy as np
+    from tests import synth
+    from svision_tpu.io.bam import BamReader
+
+    genome = str(tmp_path / "ref.fa")
+    seqs = synth.make_genome(genome, {"chr1": 120000}, seed=3)
+    bam_path = str(tmp_path / "s.bam")
+    synth.make_sv_bam(bam_path, seqs, seed=3, support=6,
+                      events=[("DEL", "chr1", 30000, 250),
+                              ("INS", "chr1", 80000, 200)])
+    bam = BamReader(bam_path)
+    aligns = list(bam.fetch("chr1", 0, 120000))
+    pos = np.fromiter((a.reference_start for a in aligns), np.int64,
+                      len(aligns))
+    endpos = np.fromiter((a.reference_end for a in aligns), np.int64,
+                         len(aligns))
+    rng = np.random.RandomState(0)
+    for _ in range(50):
+        s = int(rng.randint(0, 115000))
+        e = s + int(rng.randint(1, 8000))
+        mem = int(np.count_nonzero((pos < e) & (endpos > s)))
+        assert mem == bam.count_overlapping("chr1", s, e), (s, e)
