@@ -1,0 +1,86 @@
+"""Accuracy evaluation: calls vs planted truth.
+
+Scores a VCF produced by the pipeline against a list of simulated events
+(kind, chrom, anchor, size) — the closed-loop counterpart of the reference's
+external truvari/PAV evaluations (SURVEY.md §6). Matching is by breakpoint
+proximity and type compatibility; DUP/tDUP are accepted for each other since
+the reference's refine_type freely reclassifies between them
+(output.py:352-467)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+_COMPATIBLE = {
+    "DEL": {"DEL"},
+    "INS": {"INS"},
+    "INV": {"INV"},
+    "DUP": {"DUP", "tDUP"},
+    "tDUP": {"tDUP", "DUP"},
+}
+
+
+def parse_vcf_calls(vcf_path: str) -> List[Dict]:
+    """[{chrom, pos, end, types:set, qual, filter}] from a pipeline VCF."""
+    calls = []
+    for line in open(vcf_path):
+        if line.startswith("#") or not line.strip():
+            continue
+        f = line.rstrip("\n").split("\t")
+        info = dict(kv.split("=", 1) for kv in f[7].split(";") if "=" in kv)
+        types = set()
+        svtype = info.get("SVTYPE", "")
+        for t in svtype.split("+"):
+            if t:
+                types.add(t)
+        for part in info.get("BKPS", "").split(","):
+            if ":" in part:
+                types.add(part.split(":", 1)[0])
+        calls.append(dict(chrom=f[0], pos=int(f[1]),
+                          end=int(info.get("END", f[1])), types=types,
+                          qual=f[5], filter=f[6]))
+    return calls
+
+
+def score_calls(calls: Sequence[Dict],
+                truth: Sequence[Tuple[str, str, int, int]],
+                tol: int = 1000):
+    """Greedy 1:1 matching of calls to truth events.
+
+    Returns {per_type: {kind: {tp, fn, support...}}, precision, recall, f1,
+    tp, fp, fn}. A call matches an event when it is within `tol` of the
+    anchor and carries a compatible type."""
+    calls = list(calls)
+    used = [False] * len(calls)
+    per_type: Dict[str, Dict[str, int]] = {}
+    tp = 0
+    for kind, chrom, anchor, size in truth:
+        stats = per_type.setdefault(kind, {"tp": 0, "fn": 0})
+        best = None
+        for i, c in enumerate(calls):
+            if used[i] or c["chrom"] != chrom:
+                continue
+            if not (c["types"] & _COMPATIBLE.get(kind, {kind})):
+                continue
+            d = abs(c["pos"] - anchor)
+            if d <= tol and (best is None or d < best[0]):
+                best = (d, i)
+        if best is not None:
+            used[best[1]] = True
+            stats["tp"] += 1
+            tp += 1
+        else:
+            stats["fn"] += 1
+    fp = sum(1 for u in used if not u)
+    fn = len(truth) - tp
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return dict(per_type=per_type, tp=tp, fp=fp, fn=fn,
+                precision=round(precision, 4), recall=round(recall, 4),
+                f1=round(f1, 4))
+
+
+def score_vcf(vcf_path: str, truth, tol: int = 1000):
+    return score_calls(parse_vcf_calls(vcf_path), truth, tol=tol)

@@ -1,0 +1,168 @@
+"""Labeled training data from simulated SVs.
+
+The reference ships inference only — its checkpoint was trained offline on
+curated images (README.md:85-86) and is distributed out-of-band. A complete
+framework must be able to bootstrap its own model, so this module closes the
+data loop: simulate a genome + reads carrying typed SV events, run the REAL
+collection stage (signatures -> clusters -> candidate pairs), and label each
+emitted candidate spec with the planted event's class.
+
+Class ids follow the reference decoder (predict.py:133-142):
+0=DEL 1=INS 2=INV 3=DUP 4=tDUP.
+
+Candidate selection per event type mirrors how the prediction decoder
+consumes pairs (predict.py:278-294): DEL/INS/INV/tDUP are learned from
+main-main pairs; DUP (dispersed duplication) from main-x-other pairs, since
+the decoder discards DEL/INS predictions on main-other pairs and DUP is the
+class those pairs exist to carry.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import tempfile
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+CLASS_IDS = {"DEL": 0, "INS": 1, "INV": 2, "DUP": 3, "tDUP": 4}
+CLASS_NAMES = {v: k for k, v in CLASS_IDS.items()}
+
+
+def simulate_events(n_per_type: int, seed: int = 0, spacing: int = 24000,
+                    start: int = 30000,
+                    kinds: Sequence[str] = ("DEL", "INS", "INV", "DUP",
+                                            "tDUP"),
+                    size_range: Tuple[int, int] = (120, 600)):
+    """Evenly-spaced typed events along chr1, shuffled order, random sizes."""
+    rng = random.Random(seed)
+    order = [k for k in kinds for _ in range(n_per_type)]
+    rng.shuffle(order)
+    events = []
+    pos = start
+    for kind in order:
+        events.append((kind, "chr1", pos, rng.randint(*size_range)))
+        pos += spacing
+    return events, pos + spacing
+
+
+def collect_candidates(events, chrom_len: int, workdir: str, seed: int = 0,
+                       support: int = 8, min_support: int = 3):
+    """Simulate genome+BAM for `events`, run the collection stage, return
+    (candidates, genome_path, bam_path)."""
+    from tests.synth import make_genome, make_sv_bam
+    from svision_tpu.cli import parse_arguments
+    from svision_tpu.collect.window import run_detect
+
+    genome_path = os.path.join(workdir, "ref.fa")
+    bam_path = os.path.join(workdir, "sim.bam")
+    seqs = make_genome(genome_path, {"chr1": chrom_len}, seed=seed)
+    make_sv_bam(bam_path, seqs, seed=seed, support=support, events=events)
+    options = parse_arguments(
+        ["-o", os.path.join(workdir, "out"), "-b", bam_path,
+         "-g", genome_path, "-m", "unused.npz", "-n", "sim",
+         "-s", str(min_support)])
+    os.makedirs(options.out_path, exist_ok=True)
+    result = run_detect(options, bam_path, "chr1", 0, 0, chrom_len)
+    if result.error:
+        raise RuntimeError(f"collection failed: {result.error}")
+    return result.candidates, genome_path, bam_path
+
+
+def label_candidates(candidates, events, tol: int = 5000):
+    """Match candidates to planted events by region midpoint; emit
+    (specs [N,12] int64, labels [N] int32). Unmatched candidates and pair
+    kinds that don't carry the event's class are dropped."""
+    anchors = np.array([e[2] for e in events])
+    kinds = [e[0] for e in events]
+    specs: List[Tuple[int, ...]] = []
+    labels: List[int] = []
+    for cand in candidates:
+        try:
+            _, cstart, cend, _ = cand.region.split("+")
+            cstart, cend = int(float(cstart)), int(float(cend))
+        except ValueError:
+            continue
+        mid = (cstart + cend) / 2
+        i = int(np.argmin(np.abs(anchors - mid)))
+        if abs(anchors[i] - mid) > tol:
+            continue
+        kind = kinds[i]
+        main_main = "m" in cand.sig_id
+        if kind == "DUP":
+            if main_main:        # the INS-like backbone pair; not the class
+                continue         # carrier (decoder: predict.py:278-286)
+        elif kind == "INV":
+            # the reversed segment is 'other' (strand-discordant ->
+            # minor_segs, analyze_reads.py:680-684); the colinear main pair
+            # is dropped by linearOrNot, so INV lives on reverse pairs
+            if cand.pair_forward != "False":
+                continue
+        elif not main_main:
+            continue
+        specs.append(tuple(cand.spec))
+        labels.append(CLASS_IDS[kind])
+    return (np.array(specs, dtype=np.int64).reshape(-1, 12),
+            np.array(labels, dtype=np.int32))
+
+
+def balance_classes(specs: np.ndarray, labels: np.ndarray, seed: int = 0):
+    """Downsample every class to the smallest class count (INV events emit
+    two pairs per read, skewing the raw distribution)."""
+    rng = np.random.RandomState(seed)
+    counts = [int((labels == c).sum()) for c in range(5)]
+    floor = min(c for c in counts if c > 0)
+    keep: List[int] = []
+    for c in range(5):
+        idx = np.flatnonzero(labels == c)
+        if len(idx) > floor:
+            idx = rng.choice(idx, floor, replace=False)
+        keep.extend(idx.tolist())
+    keep = np.sort(np.array(keep, dtype=np.int64))
+    return specs[keep], labels[keep]
+
+
+def build_dataset(n_per_type: int = 40, seed: int = 0, support: int = 8,
+                  min_support: int = 3, workdir: str = None,
+                  tol: int = 5000, balance: bool = True):
+    """Simulate + collect + label; returns (specs, labels, events)."""
+    events, chrom_len = simulate_events(n_per_type, seed=seed)
+    if workdir is None:
+        with tempfile.TemporaryDirectory() as tmp:
+            cands, _, _ = collect_candidates(events, chrom_len, tmp,
+                                             seed=seed, support=support,
+                                             min_support=min_support)
+            specs, labels = label_candidates(cands, events, tol=tol)
+    else:
+        os.makedirs(workdir, exist_ok=True)
+        cands, _, _ = collect_candidates(events, chrom_len, workdir,
+                                         seed=seed, support=support,
+                                         min_support=min_support)
+        specs, labels = label_candidates(cands, events, tol=tol)
+    if balance and len(labels):
+        specs, labels = balance_classes(specs, labels, seed=seed)
+    return specs, labels, events
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(
+        description="svision-tpu training-set builder (simulated SVs)")
+    ap.add_argument("-o", dest="out", required=True,
+                    help="output .npz (specs + labels)")
+    ap.add_argument("--n-per-type", type=int, default=40)
+    ap.add_argument("--support", type=int, default=8)
+    ap.add_argument("--min-support", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0)
+    ns = ap.parse_args(argv)
+    specs, labels, _ = build_dataset(n_per_type=ns.n_per_type, seed=ns.seed,
+                                     support=ns.support,
+                                     min_support=ns.min_support)
+    np.savez(ns.out, specs=specs, labels=labels)
+    counts = {CLASS_NAMES[c]: int((labels == c).sum()) for c in range(5)}
+    print(f"saved {ns.out}: {len(labels)} examples {counts}")
+
+
+if __name__ == "__main__":
+    main()

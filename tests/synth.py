@@ -59,6 +59,45 @@ def inv_read(qname: str, chrom: str, anchor: int, flank: int, il: int,
     ]
 
 
+def tdup_read(qname: str, chrom: str, anchor: int, flank: int, size: int,
+              genome: str) -> List[SamRecord]:
+    """Split read carrying a tandem duplication: the supplementary re-maps
+    back inside the primary's ref span (ref-overlap => sigDup,
+    analyze_reads.py:355-424)."""
+    dup = genome[anchor:anchor + size]
+    left = genome[anchor - flank:anchor + size]                 # flank+copy1
+    right = dup + genome[anchor + size:anchor + size + flank]   # copy2+flank
+    seq = left + right
+    return [
+        SamRecord(qname, 0, chrom, anchor - flank, 60,
+                  f"{len(left)}M{len(right)}S", seq),
+        SamRecord(qname, 2048, chrom, anchor, 60,
+                  f"{len(left)}H{len(right)}M", right),
+    ]
+
+
+def dup_read(qname: str, chrom: str, anchor: int, flank: int, size: int,
+             genome: str, dist: int = None) -> List[SamRecord]:
+    """Dispersed (non-tandem) duplication: a copy of a nearby source locus
+    (inside the left flank) inserted at `anchor`. The middle alignment's ref
+    span is covered by the first flank's span, so the main/other labeling
+    (analyze_reads.py:704-728, cal_overlap_ratio in REF coords) marks it
+    'other' -> main-x-other candidate pairs (the DUP image class)."""
+    if dist is None:
+        dist = size + 300            # source upstream, still within the flank
+    src = anchor - dist
+    ins = genome[src:src + size]
+    seq = genome[anchor - flank:anchor] + ins + genome[anchor:anchor + flank]
+    return [
+        SamRecord(qname, 0, chrom, anchor - flank, 60,
+                  f"{flank}M{size + flank}S", seq),
+        SamRecord(qname, 2048, chrom, src, 60,
+                  f"{flank}H{size}M{flank}H", ins),
+        SamRecord(qname, 2048, chrom, anchor, 60,
+                  f"{flank + size}H{flank}M", seq[flank + size:]),
+    ]
+
+
 def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 support: int = 8,
                 events: List[Tuple[str, str, int, int]] = None) -> List[Tuple]:
@@ -83,6 +122,10 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 records += ins_read(q, ch, a, flank, size, genome_seq[ch], rng)
             elif kind == "INV":
                 records += inv_read(q, ch, a, flank, size, genome_seq[ch])
+            elif kind == "tDUP":
+                records += tdup_read(q, ch, a, flank, size, genome_seq[ch])
+            elif kind == "DUP":
+                records += dup_read(q, ch, a, flank, size, genome_seq[ch])
     # background coverage: clean reads across the chrom
     for i in range(0, len(g) - 6000, 2500):
         for k in range(3):
