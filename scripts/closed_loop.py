@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--support", type=int, default=8)
     ap.add_argument("--bf16", action="store_true",
                     help="train in bfloat16 compute")
+    ap.add_argument("--csv", action="store_true",
+                    help="include complex events (DEL+INS, INV+DEL) in the "
+                         "held-out genome and run the caller with --graph")
     ns = ap.parse_args(argv)
 
     import jax
@@ -78,7 +81,11 @@ def main(argv=None):
 
     # 3) held-out genome B + full caller
     t0 = time.perf_counter()
-    events, chrom_len = simulate_events(ns.eval_per_type, seed=ns.eval_seed)
+    kinds = ("DEL", "INS", "INV", "DUP", "tDUP")
+    if ns.csv:
+        kinds = kinds + ("DEL+INS", "INV+DEL")
+    events, chrom_len = simulate_events(ns.eval_per_type, seed=ns.eval_seed,
+                                        kinds=kinds)
     eval_dir = os.path.join(ns.out, "eval")
     os.makedirs(eval_dir, exist_ok=True)
     genome = os.path.join(eval_dir, "ref.fa")
@@ -86,10 +93,12 @@ def main(argv=None):
     seqs = make_genome(genome, {"chr1": chrom_len}, seed=ns.eval_seed)
     make_sv_bam(bam, seqs, seed=ns.eval_seed, support=ns.support,
                 events=events)
-    options = parse_arguments(
-        ["-o", os.path.join(eval_dir, "out"), "-b", bam, "-g", genome,
-         "-m", weights, "-n", "loop", "-s", "3",
-         "--batch_size", str(ns.batch_size)])
+    cli_args = ["-o", os.path.join(eval_dir, "out"), "-b", bam, "-g", genome,
+                "-m", weights, "-n", "loop", "-s", "3",
+                "--batch_size", str(ns.batch_size)]
+    if ns.csv:
+        cli_args.append("--graph")
+    options = parse_arguments(cli_args)
     vcf = run_pipeline(options)
     print(f"[3/4] called {vcf} ({time.perf_counter()-t0:.1f}s)", flush=True)
 

@@ -70,9 +70,19 @@ class Options:
 
     def normalized(self) -> "Options":
         """Apply the reference's dynamic overrides (SVision:161-162)."""
-        if self.contig and self.min_support != 1:
-            return dataclasses.replace(self, min_support=1)
-        return self
+        out = self
+        if out.contig and out.min_support != 1:
+            out = dataclasses.replace(out, min_support=1)
+        if out.graph and not out.qname:
+            # the graph step locates per-read GFAs via the READS INFO field,
+            # which only --qname emits (output.py:580-583); the reference
+            # crashes on record.info['READS'] here (graph.py:574) — we
+            # auto-enable qname instead
+            import logging
+            logging.info("--graph requires read names in the VCF; "
+                         "enabling --qname")
+            out = dataclasses.replace(out, qname=True)
+        return out
 
 
 def default_options(**kw) -> Options:

@@ -56,17 +56,33 @@ def score_calls(calls: Sequence[Dict],
     tp = 0
     for kind, chrom, anchor, size in truth:
         stats = per_type.setdefault(kind, {"tp": 0, "fn": 0})
-        best = None
-        for i, c in enumerate(calls):
-            if used[i] or c["chrom"] != chrom:
-                continue
-            if not (c["types"] & _COMPATIBLE.get(kind, {kind})):
-                continue
-            d = abs(c["pos"] - anchor)
-            if d <= tol and (best is None or d < best[0]):
-                best = (d, i)
-        if best is not None:
-            used[best[1]] = True
+        # compound events ("DEL+INS", "INV+DEL"): every component must be
+        # carried by a nearby call — either one <CSV> record with multiple
+        # BKPS types or adjacent simple records (both are faithful shapes,
+        # depending on whether the component signatures co-cluster)
+        components = kind.split("+")
+        event_calls: set = set()
+        ok = True
+        for comp in components:
+            best = None
+            for i, c in enumerate(calls):
+                if (used[i] and i not in event_calls) or c["chrom"] != chrom:
+                    continue
+                if not (c["types"] & _COMPATIBLE.get(comp, {comp})):
+                    continue
+                # either breakpoint may sit at the planted anchor: DUP calls
+                # report the duplicated SOURCE span, whose END is the
+                # insertion point (refine_type semantics)
+                d = min(abs(c["pos"] - anchor), abs(c["end"] - anchor))
+                if d <= tol and (best is None or d < best[0]):
+                    best = (d, i)
+            if best is None:
+                ok = False
+                break
+            event_calls.add(best[1])
+        if ok:
+            for i in event_calls:
+                used[i] = True
             stats["tp"] += 1
             tp += 1
         else:

@@ -98,6 +98,39 @@ def dup_read(qname: str, chrom: str, anchor: int, flank: int, size: int,
     ]
 
 
+def delins_read(qname: str, chrom: str, anchor: int, flank: int, dl: int,
+                il: int, genome: str, rng) -> List[SamRecord]:
+    """Complex DEL+INS at one locus: `dl` reference bases replaced by `il`
+    novel bases — one alignment with adjacent I and D ops, which
+    analyze_inside_align splits into two typed gaps (-> <CSV> DEL+INS)."""
+    ins = "".join(rng.choice("ACGT") for _ in range(il))
+    seq = genome[anchor - flank:anchor] + ins + \
+        genome[anchor + dl:anchor + dl + flank]
+    return [SamRecord(qname, 0, chrom, anchor - flank, 60,
+                      f"{flank}M{il}I{dl}D{flank}M", seq)]
+
+
+def invdel_read(qname: str, chrom: str, anchor: int, flank: int, il: int,
+                dl: int, genome: str) -> List[SamRecord]:
+    """Complex INV+DEL: an inverted segment followed by a deleted stretch —
+    split read whose last segment resumes `dl` bases downstream."""
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    mid = genome[anchor:anchor + il]
+    mid_rc = "".join(comp[b] for b in reversed(mid))
+    tail_start = anchor + il + dl
+    seq = genome[anchor - flank:anchor] + mid_rc + \
+        genome[tail_start:tail_start + flank]
+    total = len(seq)
+    return [
+        SamRecord(qname, 0, chrom, anchor - flank, 60,
+                  f"{flank}M{total - flank}S", seq),
+        SamRecord(qname, 2048 | 16, chrom, anchor, 60,
+                  f"{flank}H{il}M{flank}H", mid),
+        SamRecord(qname, 2048, chrom, tail_start, 60,
+                  f"{flank + il}H{flank}M", seq[flank + il:]),
+    ]
+
+
 def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 support: int = 8,
                 events: List[Tuple[str, str, int, int]] = None) -> List[Tuple]:
@@ -116,16 +149,28 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
             q = f"sv{ei}_{s}"
             jitter = rng.randint(-12, 12)
             a = anchor + jitter
+            # del/ins/inv readers place the event one flank into the read, so
+            # start them a flank early: every kind plants its SV at `anchor`
             if kind == "DEL":
-                records += del_read(q, ch, a, flank, size, genome_seq[ch])
+                records += del_read(q, ch, a - flank, flank, size,
+                                    genome_seq[ch])
             elif kind == "INS":
-                records += ins_read(q, ch, a, flank, size, genome_seq[ch], rng)
+                records += ins_read(q, ch, a - flank, flank, size,
+                                    genome_seq[ch], rng)
             elif kind == "INV":
-                records += inv_read(q, ch, a, flank, size, genome_seq[ch])
+                records += inv_read(q, ch, a - flank, flank, size,
+                                    genome_seq[ch])
             elif kind == "tDUP":
                 records += tdup_read(q, ch, a, flank, size, genome_seq[ch])
             elif kind == "DUP":
                 records += dup_read(q, ch, a, flank, size, genome_seq[ch])
+            elif kind == "DEL+INS":
+                records += delins_read(q, ch, a, flank, size,
+                                       max(60, size // 2), genome_seq[ch],
+                                       rng)
+            elif kind == "INV+DEL":
+                records += invdel_read(q, ch, a, flank, size,
+                                       max(60, size // 2), genome_seq[ch])
     # background coverage: clean reads across the chrom
     for i in range(0, len(g) - 6000, 2500):
         for k in range(3):

@@ -70,3 +70,29 @@ def test_score_calls_type_mismatch_is_fn():
 
 def test_compatibility_table_covers_all_classes():
     assert set(_COMPATIBLE) == set(CLASS_IDS)
+
+
+def test_score_calls_compound_csv_record():
+    """One <CSV> record carrying both component types matches a compound
+    truth event."""
+    truth = [("INV+DEL", "chr1", 3000, 350)]
+    calls = [dict(chrom="chr1", pos=3005, end=3500, types={"INV", "DEL"})]
+    s = score_calls(calls, truth, tol=500)
+    assert s["tp"] == 1 and s["fp"] == 0 and s["fn"] == 0
+    assert s["per_type"]["INV+DEL"]["tp"] == 1
+
+
+def test_score_calls_compound_adjacent_records():
+    """Two adjacent simple records can jointly satisfy a compound event."""
+    truth = [("DEL+INS", "chr1", 7000, 400)]
+    calls = [dict(chrom="chr1", pos=7002, end=7400, types={"DEL"}),
+             dict(chrom="chr1", pos=6998, end=7000, types={"INS"})]
+    s = score_calls(calls, truth, tol=500)
+    assert s["tp"] == 1 and s["fp"] == 0 and s["fn"] == 0
+
+
+def test_score_calls_compound_missing_component():
+    truth = [("DEL+INS", "chr1", 7000, 400)]
+    calls = [dict(chrom="chr1", pos=7002, end=7400, types={"DEL"})]
+    s = score_calls(calls, truth, tol=500)
+    assert s["tp"] == 0 and s["fn"] == 1 and s["fp"] == 1

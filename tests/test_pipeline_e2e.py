@@ -168,3 +168,35 @@ def test_contig_mode(workspace, tmp_path):
     recs = _records(vcf)
     assert recs, "contig mode produced no calls"
     assert any(abs(int(r[1]) - 42000) < 2500 for r in recs), recs
+
+
+def test_graph_implies_qname():
+    """--graph needs READS= in the VCF to locate per-read GFAs; the
+    reference crashes on record.info['READS'] (graph.py:574) when --qname is
+    off, we auto-enable it."""
+    opts = parse_arguments(["-o", "o", "-b", "b", "-g", "g", "-m", "m",
+                            "-n", "n", "--graph"])
+    assert opts.qname
+
+
+def test_graph_mode_with_complex_events(tmp_path):
+    """CSV records (multi-type regions) flow through the graph annotation
+    step end-to-end without --qname given explicitly."""
+    from tests import synth
+    genome_path = str(tmp_path / "ref.fa")
+    seqs = synth.make_genome(genome_path, {"chr1": 200000}, seed=21)
+    bam_path = str(tmp_path / "s.bam")
+    synth.make_sv_bam(bam_path, seqs, seed=21, support=8,
+                      events=[("INV+DEL", "chr1", 60000, 300),
+                              ("DEL+INS", "chr1", 140000, 400)])
+    weights = str(tmp_path / "w.npz")
+    import jax
+    save_params({k: np.asarray(v) for k, v in
+                 alexnet.init_params(jax.random.PRNGKey(3)).items()}, weights)
+    args = ["-o", str(tmp_path / "out"), "-b", bam_path, "-g", genome_path,
+            "-m", weights, "-n", "csvsample", "-s", "3",
+            "--batch_size", "32", "--graph"]
+    vcf = run_pipeline(parse_arguments(args))
+    assert vcf.endswith(".graph.vcf") and os.path.exists(vcf)
+    recs = _records(vcf)
+    assert recs, "complex events must produce calls"
