@@ -170,8 +170,8 @@ def get_baseline(refresh=False):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batches", type=int, default=512)
     ap.add_argument("--refresh-baseline", action="store_true")
     args = ap.parse_args()
 

@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--csv", action="store_true",
                     help="include complex events (DEL+INS, INV+DEL) in the "
                          "held-out genome and run the caller with --graph")
+    ap.add_argument("--device-loop", action="store_true",
+                    help="train with fit_device (whole run = one jitted "
+                         "program; no per-step dispatch)")
     ns = ap.parse_args(argv)
 
     import jax
@@ -44,11 +47,11 @@ def main(argv=None):
     from svision_tpu.models import alexnet
     from svision_tpu.models.dataset import build_dataset, simulate_events, \
         CLASS_NAMES
-    from svision_tpu.models.train import fit, evaluate
+    from svision_tpu.models.train import fit, fit_device, evaluate
     from svision_tpu.models.checkpoint import save_params
     from svision_tpu.cli import parse_arguments, run_pipeline
     from svision_tpu.evaluate import score_vcf
-    from tests.synth import make_genome, make_sv_bam
+    from svision_tpu.sim import make_genome, make_sv_bam
 
     os.makedirs(ns.out, exist_ok=True)
     report = {}
@@ -66,10 +69,11 @@ def main(argv=None):
     t0 = time.perf_counter()
     params = alexnet.init_params(jax.random.PRNGKey(0))
     dtype = jnp.bfloat16 if ns.bf16 else jnp.float32
-    params, history = fit(params, specs, labels, epochs=ns.epochs,
-                          batch_size=ns.batch_size, seed=1,
-                          learning_rate=ns.lr, compute_dtype=dtype,
-                          log=lambda m: print("   " + m, flush=True))
+    trainer = fit_device if ns.device_loop else fit
+    params, history = trainer(params, specs, labels, epochs=ns.epochs,
+                              batch_size=ns.batch_size, seed=1,
+                              learning_rate=ns.lr, compute_dtype=dtype,
+                              log=lambda m: print("   " + m, flush=True))
     train_acc = evaluate(params, specs, labels)
     weights = os.path.join(ns.out, "trained.npz")
     save_params({k: np.asarray(v) for k, v in params.items()}, weights)

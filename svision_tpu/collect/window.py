@@ -47,22 +47,31 @@ def run_detect(options, bam_path: str, chrom: str, part: int, start: int,
         if ref is None:
             ref = FastaFile(options.genome)
 
-        aligns = list(bam.fetch(chrom, start, end))
-        sigs = analyze_alignments(aligns, options, ref)
-        result.n_signatures = len(sigs)
-        logging.info("Processing %s:%s-%s, %s signatures", chrom, start, end,
-                     len(sigs))
-
         # Window-resident coverage counting: any cluster span inside
         # [start, end] only overlaps reads the window fetch already returned,
         # so counting is a vectorized scan over the in-memory spans instead
         # of a fresh BAM fetch per cluster (classes.py:165-170 re-opens the
-        # BAM each time). Spans sticking out of the window fall back to the
-        # indexed count.
-        pos = np.fromiter((a.reference_start for a in aligns), np.int64,
-                          len(aligns))
-        endpos = np.fromiter((a.reference_end for a in aligns), np.int64,
-                             len(aligns))
+        # BAM each time). The spans are captured while STREAMING the fetch
+        # through the signature stage (two ints/read, not whole records);
+        # spans sticking out of the window fall back to the indexed count.
+        pos_list: List[int] = []
+        end_list: List[int] = []
+
+        def _record_spans(it):
+            for a in it:
+                pos_list.append(a.reference_start)
+                # fetch/count clamp zero-ref-span records to one base
+                # (end_pos(), svio.cc) — mirror that here
+                end_list.append(max(a.reference_end, a.reference_start + 1))
+                yield a
+
+        sigs = analyze_alignments(_record_spans(bam.fetch(chrom, start, end)),
+                                  options, ref)
+        result.n_signatures = len(sigs)
+        logging.info("Processing %s:%s-%s, %s signatures", chrom, start, end,
+                     len(sigs))
+        pos = np.asarray(pos_list, np.int64)
+        endpos = np.asarray(end_list, np.int64)
 
         def coverage_counter(contig: str, cstart: int, cend: int) -> int:
             if contig == chrom and cstart >= start and cend <= end:

@@ -77,10 +77,12 @@ class Options:
             # the graph step locates per-read GFAs via the READS INFO field,
             # which only --qname emits (output.py:580-583); the reference
             # crashes on record.info['READS'] here (graph.py:574) — we
-            # auto-enable qname instead
+            # auto-enable qname instead. Module logger: a bare logging.info
+            # would install a root handler and break the pipeline's later
+            # basicConfig file handler.
             import logging
-            logging.info("--graph requires read names in the VCF; "
-                         "enabling --qname")
+            logging.getLogger(__name__).info(
+                "--graph requires read names in the VCF; enabling --qname")
             out = dataclasses.replace(out, qname=True)
         return out
 

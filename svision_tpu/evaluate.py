@@ -66,7 +66,7 @@ def score_calls(calls: Sequence[Dict],
         for comp in components:
             best = None
             for i, c in enumerate(calls):
-                if (used[i] and i not in event_calls) or c["chrom"] != chrom:
+                if used[i] or c["chrom"] != chrom:
                     continue
                 if not (c["types"] & _COMPATIBLE.get(comp, {comp})):
                     continue

@@ -160,7 +160,7 @@ class InferenceEngine:
             c = 1
             while c < remaining:
                 c *= 2
-            chunks.append(c)
+            chunks.append(min(c, self.chunk))   # non-power-of-2 chunk config
 
         specs = self._pad(specs, bs * sum(chunks))
         ep, vis, rev = rasterize.specs_to_endpoints(specs)

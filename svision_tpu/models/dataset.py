@@ -51,7 +51,7 @@ def collect_candidates(events, chrom_len: int, workdir: str, seed: int = 0,
                        support: int = 8, min_support: int = 3):
     """Simulate genome+BAM for `events`, run the collection stage, return
     (candidates, genome_path, bam_path)."""
-    from tests.synth import make_genome, make_sv_bam
+    from svision_tpu.sim import make_genome, make_sv_bam
     from svision_tpu.cli import parse_arguments
     from svision_tpu.collect.window import run_detect
 
@@ -127,17 +127,16 @@ def build_dataset(n_per_type: int = 40, seed: int = 0, support: int = 8,
                   min_support: int = 3, workdir: str = None,
                   tol: int = 5000, balance: bool = True):
     """Simulate + collect + label; returns (specs, labels, events)."""
+    import contextlib
     events, chrom_len = simulate_events(n_per_type, seed=seed)
     if workdir is None:
-        with tempfile.TemporaryDirectory() as tmp:
-            cands, _, _ = collect_candidates(events, chrom_len, tmp,
-                                             seed=seed, support=support,
-                                             min_support=min_support)
-            specs, labels = label_candidates(cands, events, tol=tol)
+        ctx = tempfile.TemporaryDirectory()
     else:
         os.makedirs(workdir, exist_ok=True)
-        cands, _, _ = collect_candidates(events, chrom_len, workdir,
-                                         seed=seed, support=support,
+        ctx = contextlib.nullcontext(workdir)
+    with ctx as wd:
+        cands, _, _ = collect_candidates(events, chrom_len, wd, seed=seed,
+                                         support=support,
                                          min_support=min_support)
         specs, labels = label_candidates(cands, events, tol=tol)
     if balance and len(labels):

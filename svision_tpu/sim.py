@@ -1,0 +1,184 @@
+"""Synthetic genome/BAM simulator (typed SV events -> FASTA + BAM).
+
+Shipped in the package (not tests/) because the training-set builder
+(models/dataset.py) and the closed-loop bootstrap depend on it.
+
+Generates reads that carry real SV signals (CIGAR deletions/insertions,
+split-read inversions/duplications) over a random reference, so the full
+pipeline produces deterministic calls.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Tuple
+
+from svision_tpu.io.bamwrite import SamRecord
+from svision_tpu.io.fasta import write_fasta
+
+
+def make_genome(path: str, chroms: Dict[str, int], seed: int = 0) -> Dict[str, str]:
+    rng = random.Random(seed)
+    seqs = {name: "".join(rng.choice("ACGT") for _ in range(ln))
+            for name, ln in chroms.items()}
+    write_fasta(path, seqs)
+    return seqs
+
+
+def del_read(qname: str, chrom: str, anchor: int, flank: int, dl: int,
+             genome: str) -> List[SamRecord]:
+    """Read spanning a deletion as one alignment with a D op."""
+    seq = genome[anchor:anchor + flank] + genome[anchor + flank + dl:
+                                                 anchor + flank + dl + flank]
+    return [SamRecord(qname, 0, chrom, anchor, 60,
+                      f"{flank}M{dl}D{flank}M", seq)]
+
+
+def ins_read(qname: str, chrom: str, anchor: int, flank: int, il: int,
+             genome: str, rng) -> List[SamRecord]:
+    ins = "".join(rng.choice("ACGT") for _ in range(il))
+    seq = genome[anchor:anchor + flank] + ins + \
+        genome[anchor + flank:anchor + 2 * flank]
+    return [SamRecord(qname, 0, chrom, anchor, 60,
+                      f"{flank}M{il}I{flank}M", seq)]
+
+
+def inv_read(qname: str, chrom: str, anchor: int, flank: int, il: int,
+             genome: str) -> List[SamRecord]:
+    """Split read: fwd flank + reversed middle + fwd flank (3 alignments)."""
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    mid = genome[anchor + flank:anchor + flank + il]
+    mid_rc = "".join(comp[b] for b in reversed(mid))
+    seq = genome[anchor:anchor + flank] + mid_rc + \
+        genome[anchor + flank + il:anchor + 2 * flank + il]
+    total = len(seq)
+    return [
+        SamRecord(qname, 0, chrom, anchor, 60,
+                  f"{flank}M{total - flank}S", seq),
+        SamRecord(qname, 2048 | 16, chrom, anchor + flank, 60,
+                  f"{flank}H{il}M{flank}H", mid),
+        SamRecord(qname, 2048, chrom, anchor + flank + il, 60,
+                  f"{flank + il}H{flank}M", seq[flank + il:]),
+    ]
+
+
+def tdup_read(qname: str, chrom: str, anchor: int, flank: int, size: int,
+              genome: str) -> List[SamRecord]:
+    """Split read carrying a tandem duplication: the supplementary re-maps
+    back inside the primary's ref span (ref-overlap => sigDup,
+    analyze_reads.py:355-424)."""
+    dup = genome[anchor:anchor + size]
+    left = genome[anchor - flank:anchor + size]                 # flank+copy1
+    right = dup + genome[anchor + size:anchor + size + flank]   # copy2+flank
+    seq = left + right
+    return [
+        SamRecord(qname, 0, chrom, anchor - flank, 60,
+                  f"{len(left)}M{len(right)}S", seq),
+        SamRecord(qname, 2048, chrom, anchor, 60,
+                  f"{len(left)}H{len(right)}M", right),
+    ]
+
+
+def dup_read(qname: str, chrom: str, anchor: int, flank: int, size: int,
+             genome: str, dist: int = None) -> List[SamRecord]:
+    """Dispersed (non-tandem) duplication: a copy of a nearby source locus
+    (inside the left flank) inserted at `anchor`. The middle alignment's ref
+    span is covered by the first flank's span, so the main/other labeling
+    (analyze_reads.py:704-728, cal_overlap_ratio in REF coords) marks it
+    'other' -> main-x-other candidate pairs (the DUP image class)."""
+    if dist is None:
+        dist = size + 300            # source upstream, still within the flank
+    src = anchor - dist
+    ins = genome[src:src + size]
+    seq = genome[anchor - flank:anchor] + ins + genome[anchor:anchor + flank]
+    return [
+        SamRecord(qname, 0, chrom, anchor - flank, 60,
+                  f"{flank}M{size + flank}S", seq),
+        SamRecord(qname, 2048, chrom, src, 60,
+                  f"{flank}H{size}M{flank}H", ins),
+        SamRecord(qname, 2048, chrom, anchor, 60,
+                  f"{flank + size}H{flank}M", seq[flank + size:]),
+    ]
+
+
+def delins_read(qname: str, chrom: str, anchor: int, flank: int, dl: int,
+                il: int, genome: str, rng) -> List[SamRecord]:
+    """Complex DEL+INS at one locus: `dl` reference bases replaced by `il`
+    novel bases — one alignment with adjacent I and D ops, which
+    analyze_inside_align splits into two typed gaps (-> <CSV> DEL+INS)."""
+    ins = "".join(rng.choice("ACGT") for _ in range(il))
+    seq = genome[anchor - flank:anchor] + ins + \
+        genome[anchor + dl:anchor + dl + flank]
+    return [SamRecord(qname, 0, chrom, anchor - flank, 60,
+                      f"{flank}M{il}I{dl}D{flank}M", seq)]
+
+
+def invdel_read(qname: str, chrom: str, anchor: int, flank: int, il: int,
+                dl: int, genome: str) -> List[SamRecord]:
+    """Complex INV+DEL: an inverted segment followed by a deleted stretch —
+    split read whose last segment resumes `dl` bases downstream."""
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    mid = genome[anchor:anchor + il]
+    mid_rc = "".join(comp[b] for b in reversed(mid))
+    tail_start = anchor + il + dl
+    seq = genome[anchor - flank:anchor] + mid_rc + \
+        genome[tail_start:tail_start + flank]
+    total = len(seq)
+    return [
+        SamRecord(qname, 0, chrom, anchor - flank, 60,
+                  f"{flank}M{total - flank}S", seq),
+        SamRecord(qname, 2048 | 16, chrom, anchor, 60,
+                  f"{flank}H{il}M{flank}H", mid),
+        SamRecord(qname, 2048, chrom, tail_start, 60,
+                  f"{flank + il}H{flank}M", seq[flank + il:]),
+    ]
+
+
+def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
+                support: int = 8,
+                events: List[Tuple[str, str, int, int]] = None) -> List[Tuple]:
+    """events: [(kind, chrom, anchor, size)]; returns the event list used."""
+    rng = random.Random(seed)
+    chrom = list(genome_seq)[0]
+    g = genome_seq[chrom]
+    if events is None:
+        events = [("DEL", chrom, 20000, 300),
+                  ("INS", chrom, 60000, 220),
+                  ("DEL", chrom, 100000, 500)]
+    records: List[SamRecord] = []
+    flank = 2000
+    for ei, (kind, ch, anchor, size) in enumerate(events):
+        for s in range(support):
+            q = f"sv{ei}_{s}"
+            jitter = rng.randint(-12, 12)
+            a = anchor + jitter
+            # del/ins/inv readers place the event one flank into the read, so
+            # start them a flank early: every kind plants its SV at `anchor`
+            if kind == "DEL":
+                records += del_read(q, ch, a - flank, flank, size,
+                                    genome_seq[ch])
+            elif kind == "INS":
+                records += ins_read(q, ch, a - flank, flank, size,
+                                    genome_seq[ch], rng)
+            elif kind == "INV":
+                records += inv_read(q, ch, a - flank, flank, size,
+                                    genome_seq[ch])
+            elif kind == "tDUP":
+                records += tdup_read(q, ch, a, flank, size, genome_seq[ch])
+            elif kind == "DUP":
+                records += dup_read(q, ch, a, flank, size, genome_seq[ch])
+            elif kind == "DEL+INS":
+                records += delins_read(q, ch, a, flank, size,
+                                       max(60, size // 2), genome_seq[ch],
+                                       rng)
+            elif kind == "INV+DEL":
+                records += invdel_read(q, ch, a, flank, size,
+                                       max(60, size // 2), genome_seq[ch])
+    # background coverage: clean reads across the chrom
+    for i in range(0, len(g) - 6000, 2500):
+        for k in range(3):
+            records.append(SamRecord(f"bg{i}_{k}", 0, chrom, i + k * 311, 60,
+                                     "5000M", g[i + k * 311:i + k * 311 + 5000]))
+    from svision_tpu.io.bamwrite import write_bam
+    write_bam(bam_path, [(c, len(s)) for c, s in genome_seq.items()], records)
+    return events
