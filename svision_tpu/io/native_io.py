@@ -36,9 +36,13 @@ def _load():
     if _lib is not None or _load_failed:
         return _lib
     if not os.path.exists(_LIB_PATH):
+        # Not a permanent failure: the lib may be built later (ensure_built).
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
         _load_failed = True
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
     lib.svio_fetch.restype = ctypes.c_void_p
     lib.svio_fetch.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
