@@ -102,6 +102,9 @@ def parse_arguments(arguments=None) -> Options:
 
     pre = parser.add_argument_group("Predict parameters")
     pre.add_argument("--batch_size", type=int, default=128)
+    pre.add_argument("--exact", dest="bf16", action="store_false", default=True,
+                     help="Run the CNN in f32 (reference-faithful numerics) "
+                     "instead of the default bf16 fast path")
 
     gt = parser.add_argument_group("Genotype parameters")
     gt.add_argument("--min_gt_depth", type=int, default=4)

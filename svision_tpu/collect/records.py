@@ -82,6 +82,10 @@ class Aln:
         return self.mapping_quality
 
     @property
+    def qname(self) -> str:
+        return self.query_name
+
+    @property
     def cigarstring(self) -> str:
         return "".join(f"{ln}{op}" for op, ln in self.cigar)
 

@@ -237,7 +237,10 @@ def predict_chromosome(candidates: List[Candidate], engine: InferenceEngine,
             key = read_num.replace("m", "")
             read_num_name_pair[key] = cand.qname
             sig_types.append(cand.sig_type)
-            predict_scores.append(round(float(softs[i]), 2))
+            # keep the np.float32 scalar: the reference rounds the f32 softmax
+            # (predict.py:249) and np.mean over f32 feeds the score file —
+            # a float64 detour changes the printed score string
+            predict_scores.append(round(np.float32(softs[i]), 2))
             sig_score_pair[key] = str(cand.score)
             sig_mechanisms_pair[key] = cand.mechanism
 

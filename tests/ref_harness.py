@@ -95,13 +95,30 @@ class FakeAlignedSegment:
 
 
 class FakeAlignmentFile:
-    """pysam.AlignmentFile stand-in: per-path registered reads + ref names."""
+    """pysam.AlignmentFile stand-in.
+
+    Two backends: per-path registered in-memory reads (unit parity tests), or
+    — when the path is a real BAM on disk — svision_tpu's own BamReader, so
+    the reference pipeline can be executed end-to-end against an actual file
+    (its Aln records quack like pysam.AlignedSegment for every attribute the
+    reference touches)."""
 
     registry = {}
 
     def __init__(self, path, mode="r"):
+        import os
         self.path = path
-        entry = FakeAlignmentFile.registry.get(path, {})
+        self._reader = None
+        entry = FakeAlignmentFile.registry.get(path)
+        if entry is None and os.path.exists(path):
+            from svision_tpu.io.bam import BamReader
+            self._reader = BamReader(path)
+            self.refs = list(self._reader.references)
+            self.reads = []
+            self.lengths = dict(zip(self._reader.references,
+                                    self._reader.lengths))
+            return
+        entry = entry or {}
         self.refs = entry.get("refs", ["chr1"])
         self.reads = entry.get("reads", [])
         self.lengths = entry.get("lengths", {})
@@ -117,6 +134,9 @@ class FakeAlignmentFile:
 
     def fetch(self, contig=None, start=None, stop=None, end=None):
         stop = stop if stop is not None else end
+        if self._reader is not None:
+            yield from self._reader.fetch(contig, start or 0, stop)
+            return
         for r in self.reads:
             if contig is not None and r.reference_name != contig:
                 continue
@@ -127,6 +147,61 @@ class FakeAlignmentFile:
             yield r
 
 
+class FakeVariantRecord:
+    """pysam.VariantRecord stand-in for the attributes the reference graph
+    step reads (graph.py:535-621): contig/start/stop, typed info dict,
+    str(record) = the raw line."""
+
+    _INT_FIELDS = ("END", "SVLEN", "SUPPORT")
+
+    def __init__(self, line: str):
+        self._line = line if line.endswith("\n") else line + "\n"
+        parts = line.rstrip("\n").split("\t")
+        self.contig = parts[0]
+        self.pos = int(parts[1])
+        self.start = self.pos - 1          # pysam: 0-based start
+        self.id = parts[2]
+        self.qual = parts[5]
+        self.info = {}
+        for field in parts[7].split(";"):
+            if "=" not in field:
+                self.info[field] = True
+                continue
+            k, v = field.split("=", 1)
+            if k in self._INT_FIELDS:
+                self.info[k] = int(v)
+            elif k in ("READS", "BKPS"):
+                self.info[k] = tuple(v.split(","))   # Number=. => tuple
+            else:
+                self.info[k] = v
+        self.stop = self.info.get("END", self.pos)
+
+    def __str__(self):
+        return self._line
+
+
+class FakeVariantFile:
+    """pysam.VariantFile stand-in: text parse, header passthrough."""
+
+    def __init__(self, path, mode="r"):
+        self._header_text = ""
+        self._records = []
+        for line in open(path):
+            if line.startswith("#"):
+                self._header_text += line
+            elif line.strip():
+                self._records.append(FakeVariantRecord(line))
+
+    @property
+    def header(self):
+        class _H(str):
+            pass
+        return _H(self._header_text)
+
+    def __iter__(self):
+        return iter(self._records)
+
+
 def install_fake_pysam():
     from svision_tpu.io.fasta import FastaFile as _Fasta
 
@@ -134,7 +209,7 @@ def install_fake_pysam():
     mod.AlignedSegment = FakeAlignedSegment
     mod.AlignmentFile = FakeAlignmentFile
     mod.FastaFile = _Fasta
-    mod.VariantFile = None
+    mod.VariantFile = FakeVariantFile
     sys.modules["pysam"] = mod
     return mod
 
