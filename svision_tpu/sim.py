@@ -174,11 +174,13 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
             elif kind == "INV+DEL":
                 records += invdel_read(q, ch, a, flank, size,
                                        max(60, size // 2), genome_seq[ch])
-    # background coverage: clean reads across the chrom
-    for i in range(0, len(g) - 6000, 2500):
-        for k in range(3):
-            records.append(SamRecord(f"bg{i}_{k}", 0, chrom, i + k * 311, 60,
-                                     "5000M", g[i + k * 311:i + k * 311 + 5000]))
+    # background coverage: clean reads across every chrom
+    for chrom, g in genome_seq.items():
+        for i in range(0, len(g) - 6000, 2500):
+            for k in range(3):
+                records.append(SamRecord(
+                    f"bg_{chrom}_{i}_{k}", 0, chrom, i + k * 311, 60,
+                    "5000M", g[i + k * 311:i + k * 311 + 5000]))
     from svision_tpu.io.bamwrite import write_bam
     write_bam(bam_path, [(c, len(s)) for c, s in genome_seq.items()], records)
     return events

@@ -46,6 +46,24 @@ CONFIGS = {
         events=[("DEL", "chr1", 20000, 300), ("INS", "chr1", 60000, 400),
                 ("INV", "chr1", 100000, 400)],
         flags=dict(hash=True), seed=31),
+    # two chromosomes: exercises per-chrom predict fragments + the merge's
+    # cross-chromosome ID renumbering (output.py:311-331)
+    "multichrom": dict(
+        chroms={"chr1": 150000, "chr2": 120000},
+        events=[("DEL", "chr1", 20000, 300), ("INS", "chr1", 60000, 220),
+                ("DEL", "chr2", 30000, 260), ("INV", "chr2", 80000, 400)],
+        flags={}, seed=37),
+    # small window: 150 kb chrom split into 3 windows + boundary-straddling
+    # event (window fetch-overlap semantics, SVision:182-201)
+    "windows": dict(
+        events=[("DEL", "chr1", 20000, 300), ("INS", "chr1", 49900, 220),
+                ("INV", "chr1", 100000, 400)],
+        flags=dict(window_size=50000), seed=41),
+    # contig mode: min_support forced to 1, min_mapq to 0, window = contig
+    # (SVision:161-162,179-180; collect_signatures.py:125)
+    "contig": dict(
+        events=[("DEL", "chr1", 20000, 300), ("INS", "chr1", 60000, 220)],
+        support=2, flags=dict(contig=True), seed=43),
 }
 
 _ckpt_cache = {}
@@ -73,10 +91,12 @@ def _save_reference_ckpt(prefix: str, seed: int) -> None:
 
 def _build_workspace(root, cfg):
     genome_path = os.path.join(root, "ref.fa")
-    seqs = synth.make_genome(genome_path, {"chr1": 150000}, seed=cfg["seed"])
+    seqs = synth.make_genome(genome_path,
+                             cfg.get("chroms", {"chr1": 150000}),
+                             seed=cfg["seed"])
     bam_path = os.path.join(root, "sample.bam")
-    synth.make_sv_bam(bam_path, seqs, seed=cfg["seed"], support=8,
-                      events=cfg["events"])
+    synth.make_sv_bam(bam_path, seqs, seed=cfg["seed"],
+                      support=cfg.get("support", 8), events=cfg["events"])
     ckpt = os.path.join(root, "model.ckpt")
     # ckpt_seed picked so random weights still yield the config's interesting
     # outputs (the graph config needs >=1 <CSV> record to merge a GFA)
@@ -97,6 +117,9 @@ def _run_reference(ws, outdir, flags):
         ws["genome"], bam_path=ws["bam"], out_path=outdir, sample=SAMPLE,
         model_path=ws["ckpt"], min_support=MIN_SUPPORT,
         batch_size=BATCH_SIZE, **flags)
+    if opts.contig:
+        opts.min_support = 1     # driver override, SVision:161-162
+    min_support = opts.min_support
 
     segments_dir = os.path.join(outdir, "segments")
     predict_dir = os.path.join(outdir, "predict_results")
@@ -105,30 +128,43 @@ def _run_reference(ws, outdir, flags):
     if opts.graph:
         os.makedirs(os.path.join(outdir, "graphs"), exist_ok=True)
 
+    # window task list per SVision:164-242 (contig mode: window = contig)
     from svision_tpu.io.bam import BamReader
-    chrom = "chr1"
-    length = BamReader(ws["bam"]).get_reference_length(chrom)
-    err = ref_run_collection.run_detect(opts, ws["bam"], chrom, 0, 0, length)
-    assert err is None, err
+    bam = BamReader(ws["bam"])
+    chroms = list(bam.references)
+    for chrom in chroms:
+        length = bam.get_reference_length(chrom)
+        window = length if opts.contig else opts.window_size
+        windows = ([(0, length)] if length < window else
+                   [(p, min(p + window, length))
+                    for p in range(0, length, window)])
+        part_beds = []
+        for part, (ts, te) in enumerate(windows):
+            err = ref_run_collection.run_detect(opts, ws["bam"], chrom,
+                                                part, ts, te)
+            assert err is None, err
+            part_beds.append(os.path.join(
+                segments_dir, f"{chrom}.segments.{part}.bed"))
 
-    all_bed = os.path.join(segments_dir, f"{chrom}.segments.all.bed")
-    shutil.copyfile(os.path.join(segments_dir, f"{chrom}.segments.0.bed"),
-                    all_bed)
+        all_bed = os.path.join(segments_dir, f"{chrom}.segments.all.bed")
+        with open(all_bed, "w") as out:       # the driver's `cat`
+            for pb in part_beds:
+                out.write(open(pb).read())
 
-    prefix = os.path.join(predict_dir, f"{chrom}.predict.s{MIN_SUPPORT}")
-    Predict(chrom, all_bed).run(prefix, opts)
+        prefix = os.path.join(predict_dir, f"{chrom}.predict.s{min_support}")
+        Predict(chrom, all_bed).run(prefix, opts)
 
     scores = cal_scores_max_min(predict_dir)
     assert scores, "reference produced no calls"
-    merged = os.path.join(outdir, f"{SAMPLE}.svision.s{MIN_SUPPORT}.vcf")
+    merged = os.path.join(outdir, f"{SAMPLE}.svision.s{min_support}.vcf")
     merge_split_vcfs(predict_dir, merged, np.max(scores), np.min(scores),
-                     [chrom], opts)
+                     chroms, opts)
 
     if opts.graph:
         from src.collection.graph import collect_csv_same_format
         collect_csv_same_format(os.path.join(outdir, "graphs"), merged, opts)
         return os.path.join(outdir,
-                            f"{SAMPLE}.svision.s{MIN_SUPPORT}.graph.vcf")
+                            f"{SAMPLE}.svision.s{min_support}.graph.vcf")
     return merged
 
 
@@ -140,6 +176,8 @@ def _run_ours(ws, outdir, flags):
     for flag, val in flags.items():
         if val is True:
             argv.append(f"--{flag}")
+        elif val is not False:
+            argv += [f"--{flag}", str(val)]
     return run_pipeline(parse_arguments(argv))
 
 
