@@ -98,7 +98,7 @@ class InferenceEngine:
     dominate otherwise (profiled ~6x on the TPU tunnel)."""
 
     def __init__(self, params, batch_size: int = 128, bf16: bool = True,
-                 fast: bool = True, chunk: int = 64, raster: str = "einsum"):
+                 fast: bool = True, chunk: int = 128, raster: str = "einsum"):
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.batch_size = batch_size
         self.chunk = chunk              # batches per device dispatch
