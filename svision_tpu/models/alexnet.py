@@ -82,18 +82,18 @@ def lrn(x: jax.Array, radius: int = 2, alpha: float = 2e-5, beta: float = 0.75,
     out = x / (bias + alpha * sum_{c-r..c+r} x_c^2)^beta  — matches
     tf.nn.local_response_normalization used at alexnet.py:164-166.
 
-    Implemented as a channel-axis windowed sum via cumulative sums, which XLA
-    fuses into the surrounding elementwise work (no conv needed).
+    Implemented as 2*radius+1 shifted adds over the channel axis: pure
+    elementwise VPU work that XLA fuses into the surrounding ops. (A
+    cumsum+gather formulation measured ~1.3x slower on v5e — channel-axis
+    gathers don't vectorize.)
     """
     sq = jnp.square(x)
     # windowed sum over the channel (last) axis with window 2*radius+1
     c = x.shape[-1]
-    csum = jnp.cumsum(sq, axis=-1)
-    zero = jnp.zeros_like(csum[..., :1])
-    csum = jnp.concatenate([zero, csum], axis=-1)  # csum[i] = sum of first i
-    hi = jnp.minimum(jnp.arange(c) + radius + 1, c)
-    lo = jnp.maximum(jnp.arange(c) - radius, 0)
-    win = jnp.take(csum, hi, axis=-1) - jnp.take(csum, lo, axis=-1)
+    padded = jnp.pad(sq, [(0, 0)] * (x.ndim - 1) + [(radius, radius)])
+    win = padded[..., 0:c]
+    for k in range(1, 2 * radius + 1):
+        win = win + padded[..., k:k + c]
     v = bias + alpha * win
     if beta == 0.75:
         # v^-0.75 = rsqrt(v) * sqrt(rsqrt(v)) — rsqrt/sqrt have fast VPU
