@@ -136,8 +136,13 @@ def invdel_read(qname: str, chrom: str, anchor: int, flank: int, il: int,
 
 def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 support: int = 8,
-                events: List[Tuple[str, str, int, int]] = None) -> List[Tuple]:
-    """events: [(kind, chrom, anchor, size)]; returns the event list used."""
+                events: List[Tuple[str, str, int, int]] = None,
+                noise: bool = False) -> List[Tuple]:
+    """events: [(kind, chrom, anchor, size)]; returns the event list used.
+
+    noise=True adds records every caller must FILTER (collect_signatures.py
+    131-155 semantics): low-mapq SV reads, secondary alignments, unmapped
+    records."""
     rng = random.Random(seed)
     chrom = list(genome_seq)[0]
     g = genome_seq[chrom]
@@ -174,6 +179,21 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
             elif kind == "INV+DEL":
                 records += invdel_read(q, ch, a, flank, size,
                                        max(60, size // 2), genome_seq[ch])
+    if noise and events:
+        kind, ch, anchor, size = events[0]
+        g0 = genome_seq[ch]
+        # low-mapq split reads at the first event locus (mapq < default 10)
+        for s in range(3):
+            for rec in del_read(f"lowmq_{s}", ch, anchor - flank, flank,
+                                size, g0):
+                rec.mapq = 5
+                records.append(rec)
+        # secondary alignment (flag 0x100) and unmapped record
+        sec = del_read("secread", ch, anchor - flank, flank, size, g0)[0]
+        sec.flag |= 0x100
+        records.append(sec)
+        records.append(SamRecord("unmapped0", 4, ch, anchor, 0, "*",
+                                 g0[anchor:anchor + 300]))
     # background coverage: clean reads across every chrom
     for chrom, g in genome_seq.items():
         for i in range(0, len(g) - 6000, 2500):

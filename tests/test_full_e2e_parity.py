@@ -64,6 +64,19 @@ CONFIGS = {
     "contig": dict(
         events=[("DEL", "chr1", 20000, 300), ("INS", "chr1", 60000, 220)],
         support=2, flags=dict(contig=True), seed=43),
+    # duplication signatures: tandem (ref-overlap => sigDup,
+    # analyze_reads.py:355-424) and dispersed (main-x-other pairs)
+    "duptypes": dict(
+        events=[("tDUP", "chr1", 20000, 500), ("DUP", "chr1", 60000, 400),
+                ("INS", "chr1", 100000, 220)],
+        flags={}, seed=47),
+    # filter paths + partition edges: low-mapq/secondary/unmapped noise
+    # reads (collect_signatures.py:131-155) and two DELs 3.5 kb apart
+    # (same 5 kb partition, cluster_signatures.py:51-66)
+    "filters": dict(
+        events=[("DEL", "chr1", 20000, 300), ("DEL", "chr1", 23500, 250),
+                ("INS", "chr1", 60000, 220)],
+        noise=True, flags={}, seed=53),
 }
 
 _ckpt_cache = {}
@@ -96,7 +109,8 @@ def _build_workspace(root, cfg):
                              seed=cfg["seed"])
     bam_path = os.path.join(root, "sample.bam")
     synth.make_sv_bam(bam_path, seqs, seed=cfg["seed"],
-                      support=cfg.get("support", 8), events=cfg["events"])
+                      support=cfg.get("support", 8), events=cfg["events"],
+                      noise=cfg.get("noise", False))
     ckpt = os.path.join(root, "model.ckpt")
     # ckpt_seed picked so random weights still yield the config's interesting
     # outputs (the graph config needs >=1 <CSV> record to merge a GFA)
