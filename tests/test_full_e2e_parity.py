@@ -77,6 +77,14 @@ CONFIGS = {
         events=[("DEL", "chr1", 20000, 300), ("DEL", "chr1", 23500, 250),
                 ("INS", "chr1", 60000, 220)],
         noise=True, flags={}, seed=53),
+    # region mode (-c chr:x-y) with region > window: replicates the
+    # reference's window-offset quirk — windows are laid out relative to 0,
+    # not the region start (SVision:225-232), so the effective scan is
+    # [0, region_length)
+    "region": dict(
+        events=[("DEL", "chr1", 20000, 300), ("INS", "chr1", 60000, 220),
+                ("INV", "chr1", 100000, 400)],
+        flags=dict(chrom="chr1:10000-140000", window_size=50000), seed=59),
 }
 
 _ckpt_cache = {}
@@ -142,16 +150,39 @@ def _run_reference(ws, outdir, flags):
     if opts.graph:
         os.makedirs(os.path.join(outdir, "graphs"), exist_ok=True)
 
-    # window task list per SVision:164-242 (contig mode: window = contig)
+    # window task list per SVision:164-242 (contig mode: window = contig;
+    # region mode: windows relative to 0, the reference's offset quirk)
     from svision_tpu.io.bam import BamReader
     bam = BamReader(ws["bam"])
-    chroms = list(bam.references)
+    if opts.chrom:
+        name = opts.chrom
+        if ":" in name:
+            name, cords = name.split(":")
+            rstart, rend = (int(c) for c in cords.split("-"))
+        else:
+            rstart, rend = 0, bam.get_reference_length(name)
+        region_length = rend - rstart + 1
+        window = opts.window_size
+        if region_length < window:
+            region_windows = [(rstart, rend)]
+        else:
+            region_windows = [(p, p + window)
+                              for p in range(0, region_length - window + 1,
+                                             window)]
+            if region_windows[-1][1] < region_length:
+                region_windows.append((region_windows[-1][1], region_length))
+        chroms = [name]
+    else:
+        chroms = list(bam.references)
     for chrom in chroms:
-        length = bam.get_reference_length(chrom)
-        window = length if opts.contig else opts.window_size
-        windows = ([(0, length)] if length < window else
-                   [(p, min(p + window, length))
-                    for p in range(0, length, window)])
+        if opts.chrom:
+            windows = region_windows
+        else:
+            length = bam.get_reference_length(chrom)
+            window = length if opts.contig else opts.window_size
+            windows = ([(0, length)] if length < window else
+                       [(p, min(p + window, length))
+                        for p in range(0, length, window)])
         part_beds = []
         for part, (ts, te) in enumerate(windows):
             err = ref_run_collection.run_detect(opts, ws["bam"], chrom,
@@ -188,7 +219,9 @@ def _run_ours(ws, outdir, flags):
             "-m", ws["ckpt"], "-n", SAMPLE, "-s", str(MIN_SUPPORT),
             "--batch_size", str(BATCH_SIZE), "--exact", "--debug"]
     for flag, val in flags.items():
-        if val is True:
+        if flag == "chrom":
+            argv += ["-c", str(val)]
+        elif val is True:
             argv.append(f"--{flag}")
         elif val is not False:
             argv += [f"--{flag}", str(val)]
