@@ -116,6 +116,17 @@ def parse_arguments(arguments=None) -> Options:
     hsh.add_argument("--min_accept", type=int, default=50)
     hsh.add_argument("--max_hash_len", type=int, default=1000)
 
+    dst = parser.add_argument_group(
+        "Distribution parameters (multi-host genome-axis sharding; "
+        "fragments land in a shared out dir, then one --merge_shards run)")
+    dst.add_argument("--num_shards", type=int, default=1,
+                     help="Total shard count; this process runs only its "
+                     "round-robin share of chromosomes")
+    dst.add_argument("--shard_id", type=int, default=0)
+    dst.add_argument("--merge_shards", action="store_true", default=False,
+                     help="Merge all shards' fragments into the final VCF "
+                     "(run once after every shard finished)")
+
     ns = parser.parse_args(arguments)
     return Options(**vars(ns)).normalized()
 
@@ -172,7 +183,13 @@ def _collect_worker(args):
 
 
 def run_pipeline(options: Options) -> str:
-    """Full pipeline; returns the path of the final VCF."""
+    """Full pipeline; returns the path of the final VCF.
+
+    Multi-host mode (--num_shards N --shard_id K): runs only this shard's
+    chromosomes and returns the predict_results dir; a final --merge_shards
+    invocation (shared filesystem) produces the VCF. Shard assignment is
+    deterministic, so the N-shard merge is byte-identical to a 1-shard run
+    (tests/test_dist.py)."""
     from svision_tpu.models.checkpoint import load_params
     from svision_tpu.infer.engine import InferenceEngine, predict_chromosome
     from svision_tpu.call.vcfout import cal_scores_max_min, merge_split_vcfs
@@ -190,6 +207,19 @@ def run_pipeline(options: Options) -> str:
     logging.info("**** Start svision-tpu, version %s (SVision v%s parity) ****",
                  __version__, REFERENCE_VERSION)
     logging.info("CMD: %s", " ".join(sys.argv))
+
+    if options.merge_shards or options.num_shards > 1:
+        from svision_tpu.parallel import dist
+        bam = BamReader(options.bam_path)
+        ref = FastaFile(options.genome)
+        chrom_order = list(build_task_list(bam, ref, options))
+        if options.merge_shards:
+            return dist.merge_all(options, chrom_order)
+        handled = dist.run_shard(options, options.shard_id,
+                                 options.num_shards)
+        logging.info("shard %d/%d finished chromosomes: %s",
+                     options.shard_id, options.num_shards, handled)
+        return os.path.join(work_dir, "predict_results")
 
     bam = BamReader(options.bam_path)
     ref = FastaFile(options.genome)

@@ -67,6 +67,12 @@ class Options:
     mechanism: bool = False
     rpmask: str = "RepeatMasker"
     trf: str = "trf"
+    # Multi-host genome-axis sharding (parallel/dist.py): this process runs
+    # chromosomes i where i % num_shards == shard_id; merge_shards performs
+    # the host-0 merge once all shards' fragments exist.
+    num_shards: int = 1
+    shard_id: int = 0
+    merge_shards: bool = False
 
     def normalized(self) -> "Options":
         """Apply the reference's dynamic overrides (SVision:161-162)."""

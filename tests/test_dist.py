@@ -85,3 +85,21 @@ def test_two_shards_equal_one(multi_chrom_ws, tmp_path):
     body2 = [l for l in open(vcf2) if not l.startswith("#")]
     assert body1 == body2
     assert open(vcf1).read() == open(vcf2).read()
+
+
+def test_cli_shard_flags(multi_chrom_ws, tmp_path):
+    """--num_shards/--shard_id/--merge_shards through the CLI equal a plain
+    single-process run byte for byte."""
+    ws = multi_chrom_ws
+    vcf1 = run_pipeline(_opts(ws, str(tmp_path / "one")))
+
+    out2 = str(tmp_path / "two")
+    base = ["-o", out2, "-b", ws["bam"], "-g", ws["genome"],
+            "-m", ws["weights"], "-n", "dist", "-s", "3",
+            "--batch_size", "16"]
+    for shard in range(2):
+        frag_dir = run_pipeline(parse_arguments(
+            base + ["--num_shards", "2", "--shard_id", str(shard)]))
+        assert frag_dir.endswith("predict_results")
+    vcf2 = run_pipeline(parse_arguments(base + ["--merge_shards"]))
+    assert open(vcf1).read() == open(vcf2).read()
