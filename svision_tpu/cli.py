@@ -312,8 +312,13 @@ def run_pipeline(options: Options) -> str:
     pool = None
     try:
         if options.thread_num > 1:
+            # spawn, not fork: the parent has initialized JAX (multithreaded)
+            # by this point, and forking a multithreaded process can deadlock
+            # the children. Workers only run host-side collection.
+            import multiprocessing
             pool = concurrent.futures.ProcessPoolExecutor(
-                max_workers=options.thread_num)
+                max_workers=options.thread_num,
+                mp_context=multiprocessing.get_context("spawn"))
         with profile_ctx:
             chrom_order = list(tasks)
             inflight: List = []   # [(chrom, items)] in chrom_order
