@@ -3,6 +3,7 @@ processes with a local TCP coordinator exchange QUAL score min/max through
 exchange_score_minmax's process_allgather path."""
 
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -50,8 +51,10 @@ def test_two_process_score_allgather(tmp_path):
         outs.append(out)
 
     # shard 0 holds {10,50,42}, shard 1 holds {11,40,42} -> global (10, 50)
+    # Gloo writes progress lines to fd 1 from C++, which can interleave with
+    # Python's print on the same line -- search, don't match line starts.
     for pid, out in enumerate(outs):
-        line = [l for l in out.splitlines() if l.startswith("RESULT")][0]
-        _, got_pid, mn, mx = line.split()
-        assert int(got_pid) == pid
-        assert float(mn) == 10.0 and float(mx) == 50.0
+        m = re.search(r"RESULT (\d+) ([\d.]+) ([\d.]+)", out)
+        assert m is not None, out[-2000:]
+        assert int(m.group(1)) == pid
+        assert float(m.group(2)) == 10.0 and float(m.group(3)) == 50.0
