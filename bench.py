@@ -46,6 +46,9 @@ def measure_tpu(batch_size=128, n_batches=512, seed=0):
     import jax
     from svision_tpu.infer.engine import InferenceEngine
     from svision_tpu.models import alexnet
+    from svision_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     params = alexnet.init_params(jax.random.PRNGKey(0))
     engine = InferenceEngine(params, batch_size=batch_size, bf16=True,

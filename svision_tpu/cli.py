@@ -80,6 +80,9 @@ def parse_arguments(arguments=None) -> Options:
     opt.add_argument("--profile", dest="profile_dir", type=str, default=None,
                      help="Write a jax.profiler trace of the prediction "
                      "stage to this directory")
+    opt.add_argument("--jax-cache", dest="jax_cache", type=str, default=None,
+                     help="Persistent XLA compilation cache directory "
+                     "(default ~/.cache/svision-tpu/jax; 'none' disables)")
     opt.add_argument("--mechanism", action="store_true", default=False,
                      help="Annotate MECHANISM with RepeatMasker/TRF TE/VNTR "
                      "evidence (the reference's commented v2.0 pipeline, "
@@ -193,7 +196,9 @@ def run_pipeline(options: Options) -> str:
     from svision_tpu.models.checkpoint import load_params
     from svision_tpu.infer.engine import InferenceEngine, predict_chromosome
     from svision_tpu.call.vcfout import cal_scores_max_min, merge_split_vcfs
+    from svision_tpu.utils.jaxcache import enable_persistent_cache
 
+    enable_persistent_cache(options.jax_cache)
     work_dir = options.out_path
     os.makedirs(work_dir, exist_ok=True)
 
@@ -298,6 +303,10 @@ def run_pipeline(options: Options) -> str:
     params = load_params(options.model_path)
     engine = InferenceEngine(params, batch_size=options.batch_size,
                              bf16=options.bf16)
+    # Compile the device programs on a background thread while window
+    # collection proceeds: a cold compile costs 20-260 s on the tunneled
+    # backend (cached across runs by enable_persistent_cache).
+    warmup_thread = engine.warmup_async()
     import contextlib
     profile_ctx = contextlib.nullcontext()
     if options.profile_dir:
@@ -341,6 +350,10 @@ def run_pipeline(options: Options) -> str:
                 for res in sorted(chrom_results, key=lambda r: r.part):
                     cands.extend(res.candidates)
 
+                if warmup_thread is not None:
+                    with metrics.timer("compile_wait"):
+                        warmup_thread.join()
+                    warmup_thread = None
                 with metrics.timer("predict"):
                     out_prefix = os.path.join(
                         predict_results_dir,

@@ -48,7 +48,7 @@ def analyze_between_aligns(primary: Aln, supplementary: List[Aln], options,
             "ref_start": alignment.reference_start,
             "ref_end": alignment.reference_end,
             "read_name": read_name,
-            "cigarstring": alignment.cigarstring,
+            "cigar": alignment.cigar,
             "read_seq": alignment.query_sequence[q_start:q_end],
             "is_supplementary": alignment.is_supplementary,
         }
@@ -149,7 +149,7 @@ def _hash_realign_read_gaps(major_segs: List[Seg], minor_segs: List[Seg],
                 "ref_start": seg.yStart() + ref_start,
                 "ref_end": seg.yEnd() + ref_start,
                 "read_name": cur_main["read_name"],
-                "cigarstring": "",
+                "cigar": [],
                 "type": "other",
                 "read_seq": read_seq,
                 "is_reverse": not seg.forward(),
@@ -244,7 +244,7 @@ def analyze_inside_align(seg_dict: Seg, cigar: List[Tuple[str, int]], options,
                     "ref_start": seg.yStart() + ref_start,
                     "ref_end": seg.yEnd() + ref_start,
                     "read_name": seg_dict["read_name"],
-                    "cigarstring": "",
+                    "cigar": [],
                     "type": "other",
                     "read_seq": "",
                     "is_reverse": not seg.forward(),
@@ -262,7 +262,7 @@ def analyze_inside_align(seg_dict: Seg, cigar: List[Tuple[str, int]], options,
             "ref_start": cords[2],
             "ref_end": cords[3],
             "read_name": seg_dict["read_name"],
-            "cigarstring": "",
+            "cigar": [],
             "type": "main",
             "read_seq": seg_dict["read_seq"][cords[0] - read_start:
                                              cords[1] - read_start],

@@ -13,7 +13,6 @@ from typing import Dict, Iterable, List
 from svision_tpu.collect.gaps import analyze_gap, UnreachableBranch
 from svision_tpu.collect.records import Aln
 from svision_tpu.collect.segments import analyze_between_aligns, analyze_inside_align
-from svision_tpu.collect.records import cigar_from_string
 from svision_tpu.collect.classes import Signature
 
 
@@ -61,7 +60,10 @@ def analyze_alignments(aligns: Iterable[Aln], options, ref) -> List[Signature]:
                                                 ref=ref)
         all_segs = list(minors)
         for seg_dict in majors:
-            cigar = cigar_from_string(seg_dict["cigarstring"])
+            # the Aln carries the decoded (H->S rewritten) op list already --
+            # no cigar string round-trip (reference: cigar_to_list on
+            # .cigarstring, collect_signatures.py:204)
+            cigar = seg_dict["cigar"]
             mj, mn = analyze_inside_align(seg_dict, cigar, options, ref=ref)
             if mj is None and mn is None:
                 all_segs.append(seg_dict)

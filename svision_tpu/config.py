@@ -63,6 +63,8 @@ class Options:
     resume: bool = False
     # jax.profiler trace directory for the prediction stage.
     profile_dir: Optional[str] = None
+    # Persistent XLA compilation cache dir (None -> default; 'none' off).
+    jax_cache: Optional[str] = None
     # v2.0 mechanism annotation (SVision:64-69, commented in the reference).
     mechanism: bool = False
     rpmask: str = "RepeatMasker"

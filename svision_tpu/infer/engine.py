@@ -98,7 +98,8 @@ class InferenceEngine:
     dominate otherwise (profiled ~6x on the TPU tunnel)."""
 
     def __init__(self, params, batch_size: int = 128, bf16: bool = True,
-                 fast: bool = True, chunk: int = 128, raster: str = "einsum"):
+                 fast: bool = True, chunk: int = 128, raster: str = "einsum",
+                 tail: Optional[str] = None):
         self.params = jax.tree_util.tree_map(jnp.asarray, params)
         self.batch_size = batch_size
         self.chunk = chunk              # batches per device dispatch
@@ -110,6 +111,16 @@ class InferenceEngine:
         self.fast = fast and bf16
         self.folded_params = (
             alexnet.fold_conv1_params(self.params) if self.fast else None)
+        # tail policy for the last partial super-chunk: 'full' pads it to a
+        # full `chunk` scan (ONE extra program shape ever; ~0.4 s of wasted
+        # sentinel compute per call on a v5e — nothing next to the 20-260 s a
+        # fresh scan-shape compile costs on the tunneled backend); 'pow2'
+        # compiles power-of-2 tail shapes lazily (cheap-compile backends
+        # where runtime, not compile time, dominates — i.e. CPU tests)
+        if tail is None:
+            tail = "full" if jax.default_backend() != "cpu" else "pow2"
+        assert tail in ("full", "pow2"), tail
+        self.tail = tail
 
     @property
     def _run_params(self):
@@ -124,6 +135,26 @@ class InferenceEngine:
             specs = np.concatenate(
                 [specs, np.repeat(self._SENTINEL, pad, 0)], 0)
         return specs
+
+    def warmup(self) -> None:
+        """Compile (and execute on sentinel rows) every program shape this
+        engine will dispatch: the single-batch program and, under the 'full'
+        tail policy, the one super-chunk scan. Run it in a background thread
+        (XLA compilation releases the GIL) to overlap the 20-260 s tunnel
+        compile with host-side signature collection."""
+        self.predict_specs(np.repeat(self._SENTINEL, 1, 0))
+        if self.tail == "full":
+            self.predict_specs(
+                np.repeat(self._SENTINEL, self.batch_size + 1, 0))
+
+    def warmup_async(self):
+        """Start warmup() on a daemon thread; returns the thread (join before
+        the first real predict call to avoid concurrent dispatch)."""
+        import threading
+        t = threading.Thread(target=self.warmup, name="engine-warmup",
+                             daemon=True)
+        t.start()
+        return t
 
     def predict_specs(self, specs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """specs [N,12] -> (pred_ids [N], softmax_sel [N]); N arbitrary."""
@@ -149,18 +180,21 @@ class InferenceEngine:
             return np.asarray(p)[:n], np.asarray(s)[:n]
 
         # adaptive chunking: full super-chunks of `chunk` batches, then a
-        # power-of-2 tail — bounds sentinel padding to <2x while compiling at
-        # most log2(chunk) distinct scan shapes (lazily, as sizes occur)
+        # tail sized by self.tail ('full': pad to a full chunk so only one
+        # scan shape ever compiles; 'pow2': smallest covering power of 2)
         chunks: List[int] = []
         remaining = -(-n // bs)            # total batches needed
         while remaining >= self.chunk:
             chunks.append(self.chunk)
             remaining -= self.chunk
         if remaining:
-            c = 1
-            while c < remaining:
-                c *= 2
-            chunks.append(min(c, self.chunk))   # non-power-of-2 chunk config
+            if self.tail == "full":
+                chunks.append(self.chunk)
+            else:
+                c = 1
+                while c < remaining:
+                    c *= 2
+                chunks.append(min(c, self.chunk))
 
         specs = self._pad(specs, bs * sum(chunks))
         ep, vis, rev = rasterize.specs_to_endpoints(specs)

@@ -66,10 +66,13 @@ def run_cohort_shard(samples: Dict[str, str], options: Options,
     from svision_tpu.io.fasta import FastaFile
     from svision_tpu.models.checkpoint import load_params
 
+    from svision_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache(getattr(options, 'jax_cache', None))
     ref = FastaFile(options.genome)
     params = load_params(options.model_path)
     engine = InferenceEngine(params, batch_size=options.batch_size,
                              bf16=options.bf16)
+    warmup_thread = engine.warmup_async()
 
     # all samples share one chromosome universe for deterministic assignment
     readers = {name: BamReader(path) for name, path in samples.items()}
@@ -97,6 +100,9 @@ def run_cohort_shard(samples: Dict[str, str], options: Options,
             res = run_detect(s_opts, s_opts.bam_path, chrom, part, s, e,
                              bam=bam, ref=ref)
             cands.extend(res.candidates)
+        if warmup_thread is not None:
+            warmup_thread.join()
+            warmup_thread = None
         out_prefix = os.path.join(predict_dir,
                                   f"{chrom}.predict.s{s_opts.min_support}")
         predict_chromosome(cands, engine, out_prefix, bam, s_opts)

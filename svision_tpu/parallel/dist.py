@@ -87,15 +87,21 @@ def run_shard(options, shard_id: int, num_shards: int) -> List[str]:
     if options.graph:
         os.makedirs(os.path.join(options.out_path, "graphs"), exist_ok=True)
 
+    from svision_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache(getattr(options, 'jax_cache', None))
     params = load_params(options.model_path)
     engine = InferenceEngine(params, batch_size=options.batch_size,
                              bf16=options.bf16)
+    warmup_thread = engine.warmup_async()
     for chrom in my_chroms:
         cands = []
         for part, (s, e) in enumerate(tasks[chrom]):
             res = run_detect(options, options.bam_path, chrom, part, s, e,
                              bam=bam, ref=ref)
             cands.extend(res.candidates)
+        if warmup_thread is not None:
+            warmup_thread.join()
+            warmup_thread = None
         out_prefix = os.path.join(predict_dir,
                                   f"{chrom}.predict.s{options.min_support}")
         predict_chromosome(cands, engine, out_prefix, bam, options)
