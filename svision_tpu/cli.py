@@ -83,6 +83,10 @@ def parse_arguments(arguments=None) -> Options:
     opt.add_argument("--jax-cache", dest="jax_cache", type=str, default=None,
                      help="Persistent XLA compilation cache directory "
                      "(default ~/.cache/svision-tpu/jax; 'none' disables)")
+    opt.add_argument("--cluster", action="store_true", default=False,
+                     help="Merge nearby Uncovered records of the same SV "
+                     "type into clustered PASS calls (the reference's "
+                     "commented v2.0 path, SVision:48-49,389-394)")
     opt.add_argument("--mechanism", action="store_true", default=False,
                      help="Annotate MECHANISM with RepeatMasker/TRF TE/VNTR "
                      "evidence (the reference's commented v2.0 pipeline, "
@@ -420,6 +424,18 @@ def run_pipeline(options: Options) -> str:
         final_vcf = annotate_mechanisms(final_vcf, mech_dir, options,
                                         rpmask_bin=rpmask_bin,
                                         trf_bin=trf_bin)
+
+    if options.cluster:
+        from svision_tpu.call.callset_cluster import cluster_original_callset
+        logging.info("[Additional Func: cluster] Starting cluster original "
+                     "callset......")
+        cluster_out_file = os.path.join(
+            work_dir, "{0}.svision.s{1}.clusterd.vcf".format(
+                options.sample, options.min_support))
+        n = cluster_original_callset(final_vcf, options.bam_path,
+                                     cluster_out_file)
+        logging.info("Clustered callset written to %s (%s merged clusters)",
+                     cluster_out_file, n)
 
     if not options.debug:
         shutil.rmtree(predict_results_dir, ignore_errors=True)

@@ -69,6 +69,9 @@ class Options:
     mechanism: bool = False
     rpmask: str = "RepeatMasker"
     trf: str = "trf"
+    # v2.0 Uncovered-callset clustering (SVision:48-49,389-394, commented in
+    # the reference; output.py:153-246).
+    cluster: bool = False
     # Multi-host genome-axis sharding (parallel/dist.py): this process runs
     # chromosomes i where i % num_shards == shard_id; merge_shards performs
     # the host-0 merge once all shards' fragments exist.

@@ -122,6 +122,21 @@ def test_mechanism_mode(workspace, tmp_path):
         assert "MECHANISM=" in r[7], r
 
 
+def test_cluster_mode(workspace, tmp_path):
+    """--cluster: the v2.0 Uncovered-callset clustering writes the
+    clusterd VCF alongside the final callset (SVision:389-394)."""
+    outdir = str(tmp_path / "oc")
+    vcf = _run(workspace, outdir, extra=["--cluster", "--qname"])
+    clusterd = os.path.join(outdir, "synthsample.svision.s3.clusterd.vcf")
+    assert os.path.exists(clusterd)
+    recs = _records(clusterd)
+    # every final-VCF record survives into the clustered callset (merges can
+    # only reduce the Uncovered count, never drop a locus)
+    assert len(recs) >= 1 and len(recs) <= len(_records(vcf))
+    for r in recs:
+        assert r[6] in ("PASS", "Uncovered")
+
+
 def test_resume_cache(workspace, tmp_path):
     """--resume: second run reloads cached candidate beds and produces an
     identical VCF (SURVEY.md §5.4)."""
