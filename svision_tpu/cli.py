@@ -83,6 +83,11 @@ def parse_arguments(arguments=None) -> Options:
     opt.add_argument("--jax-cache", dest="jax_cache", type=str, default=None,
                      help="Persistent XLA compilation cache directory "
                      "(default ~/.cache/svision-tpu/jax; 'none' disables)")
+    opt.add_argument("--dotplots", action="store_true", default=False,
+                     help="Dump a grayscale read-vs-reference dotplot PNG "
+                     "per multi-segment read under <out>/dotplots (the "
+                     "reference's dead debug_plot, "
+                     "collect_signatures.py:103-111)")
     opt.add_argument("--cluster", action="store_true", default=False,
                      help="Merge nearby Uncovered records of the same SV "
                      "type into clustered PASS calls (the reference's "

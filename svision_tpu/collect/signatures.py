@@ -75,6 +75,14 @@ def analyze_alignments(aligns: Iterable[Aln], options, ref) -> List[Signature]:
         if len(sorted_segs) <= 1:
             continue
 
+        if getattr(options, "dotplots", False):
+            # the reference's debug_plot dumps (collect_signatures.py:103-111,
+            # call sites commented at :230,247)
+            import os
+            from svision_tpu.ops.dotplot import dump_read_dotplot
+            dump_read_dotplot(sorted_segs, qname,
+                              os.path.join(options.out_path, "dotplots"))
+
         def _emit(cur, nxt, helps, next_is_last=True):
             graph = None
             if generate_graph is not None:

@@ -72,6 +72,9 @@ class Options:
     # v2.0 Uncovered-callset clustering (SVision:48-49,389-394, commented in
     # the reference; output.py:153-246).
     cluster: bool = False
+    # Per-read debug dotplots (the reference's dead debug_plot,
+    # collect_signatures.py:103-111).
+    dotplots: bool = False
     # Multi-host genome-axis sharding (parallel/dist.py): this process runs
     # chromosomes i where i % num_shards == shard_id; merge_shards performs
     # the host-0 merge once all shards' fragments exist.
