@@ -38,7 +38,8 @@ def _device_step(params, endpoints, visible, reverse,
     logits = alexnet.forward(params, images, compute_dtype=compute_dtype)
     pred = jnp.argmax(logits, axis=1)
     soft = jax.nn.softmax(logits, axis=1)
-    return pred, jnp.take_along_axis(soft, pred[:, None], axis=1)[:, 0]
+    # soft[argmax] == max(soft) (softmax is monotone): same element, no gather
+    return pred, jnp.max(soft, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "raster_kind"))
@@ -60,7 +61,8 @@ def _device_step_fast(folded_params, endpoints, visible, reverse,
                                     compute_dtype=compute_dtype)
     pred = jnp.argmax(logits, axis=1)
     soft = jax.nn.softmax(logits, axis=1)
-    return pred, jnp.take_along_axis(soft, pred[:, None], axis=1)[:, 0]
+    # soft[argmax] == max(soft) (softmax is monotone): same element, no gather
+    return pred, jnp.max(soft, axis=1)
 
 
 @functools.partial(jax.jit,

@@ -98,7 +98,7 @@ class ShardedInference:
                                          compute_dtype=self.compute_dtype)
             pred = jnp.argmax(logits, axis=1)
             soft = jax.nn.softmax(logits, axis=1)
-            return pred, jnp.take_along_axis(soft, pred[:, None], axis=1)[:, 0]
+            return pred, jnp.max(soft, axis=1)  # == soft[argmax], no gather
 
         def step_many(params, endpoints, visible, reverse):
             # [C,B,...] -> ([C*B], [C*B]); one dispatch per super-chunk
