@@ -1,0 +1,118 @@
+"""Whole-pipeline benchmark at realistic scale: BAM -> VCF on the real device.
+
+Simulates a multi-chromosome genome with planted SVs at a configurable
+background depth, runs the FULL CLI pipeline (collection -> device
+inference -> VCF), and reports per-stage wall clock, reads/s, images/s and
+locus-level recall against the planted truth. The per-image type accuracy of
+a *trained* model is covered by scripts/closed_loop.py (F1 1.0 on the 5-class
+sim); this harness measures throughput and end-to-end robustness at scale, so
+it accepts any weights (--model), falling back to random init.
+
+Usage:
+  python scripts/e2e_bench.py [--chroms 4] [--mb 5] [--coverage 20]
+      [--events-per-chrom 25] [--threads 2] [--model w.npz] [--keep DIR]
+"""
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+KINDS = ["DEL", "INS", "INV", "tDUP", "DUP"]
+
+
+def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11):
+    from svision_tpu.sim import make_genome, make_sv_bam
+    size = int(mb * 1e6)
+    chroms = {f"chr{i+1}": size for i in range(n_chroms)}
+    t0 = time.time()
+    fasta = os.path.join(workdir, "ref.fa")
+    genome = make_genome(fasta, chroms, seed=seed)
+    rng = random.Random(seed)
+    events = []
+    for c in chroms:
+        spacing = (size - 100_000) // events_per_chrom
+        for k in range(events_per_chrom):
+            anchor = 60_000 + k * spacing + rng.randint(0, spacing // 4)
+            events.append((KINDS[k % len(KINDS)], c, anchor,
+                           rng.randint(100, 900)))
+    bam = os.path.join(workdir, "sample.bam")
+    make_sv_bam(bam, genome, seed=seed + 1, support=8, events=events,
+                coverage=coverage)
+    return fasta, bam, events, time.time() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chroms", type=int, default=4)
+    ap.add_argument("--mb", type=float, default=5.0)
+    ap.add_argument("--coverage", type=int, default=20)
+    ap.add_argument("--events-per-chrom", type=int, default=25)
+    ap.add_argument("--threads", type=int, default=2)
+    ap.add_argument("--support", type=int, default=3)
+    ap.add_argument("--model", default=None, help=".npz weights (default: "
+                    "random init written to the workdir)")
+    ap.add_argument("--keep", default=None, help="workdir to keep (default: "
+                    "a tmpdir, removed on exit)")
+    args = ap.parse_args()
+
+    import tempfile
+    workdir = args.keep or tempfile.mkdtemp(prefix="svte2e_")
+    os.makedirs(workdir, exist_ok=True)
+
+    print(f"[sim] {args.chroms} x {args.mb} Mb @ {args.coverage}x, "
+          f"{args.events_per_chrom} events/chrom -> {workdir}")
+    genome, bam, events, t_sim = build_inputs(
+        workdir, args.chroms, args.mb, args.coverage, args.events_per_chrom)
+    bam_mb = os.path.getsize(bam) / 1e6
+    print(f"[sim] done in {t_sim:.1f}s ({bam_mb:.1f} MB BAM)")
+
+    weights = args.model
+    if weights is None:
+        import numpy as np
+        import jax
+        from svision_tpu.models import alexnet
+        from svision_tpu.models.checkpoint import save_params
+        weights = os.path.join(workdir, "w.npz")
+        save_params({k: np.asarray(v) for k, v in
+                     alexnet.init_params(jax.random.PRNGKey(0)).items()},
+                    weights)
+
+    import svision_tpu.cli as cli
+
+    outdir = os.path.join(workdir, "out")
+    t0 = time.time()
+    options = cli.parse_arguments([
+        "-o", outdir, "-b", bam, "-g", genome, "-m", weights,
+        "-n", "e2e", "-s", str(args.support), "-t", str(args.threads)])
+    vcf = cli.run_pipeline(options)
+    wall = time.time() - t0
+
+    m = cli.LAST_METRICS
+    from svision_tpu.io.bam import BamReader
+    br = BamReader(bam)
+    n_reads = sum(mapped for _, mapped, _ in br.get_index_statistics())
+    br.close()
+
+    from svision_tpu.evaluate import score_vcf
+    res = score_vcf(vcf, events, tol=1500)
+
+    report = {
+        "chroms": args.chroms, "mb_per_chrom": args.mb,
+        "coverage": args.coverage, "bam_mb": round(bam_mb, 1),
+        "n_reads": n_reads, "planted_events": len(events),
+        "wall_s": round(wall, 1),
+        "reads_per_s": round(n_reads / wall, 1),
+        "stage_s": {k: round(v, 2) for k, v in m.timers.items()},
+        "counters": {k: int(v) for k, v in m.counters.items()},
+        "locus_recall": res["recall"], "locus_precision": res["precision"],
+        "vcf": vcf,
+    }
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

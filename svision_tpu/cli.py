@@ -31,6 +31,9 @@ from svision_tpu.collect.window import (WindowResult, cache_valid, dump_bed,
 from svision_tpu.io.bam import BamReader
 from svision_tpu.io.fasta import FastaFile
 
+# Metrics of the most recent run_pipeline call (benches/tooling).
+LAST_METRICS = None
+
 
 def parse_arguments(arguments=None) -> Options:
     parser = argparse.ArgumentParser(
@@ -307,6 +310,8 @@ def run_pipeline(options: Options) -> str:
 
     from svision_tpu.utils.metrics import Metrics
     metrics = Metrics()
+    global LAST_METRICS   # introspection hook for benches/tooling
+    LAST_METRICS = metrics
 
     logging.info("**** Step2 CNN prediction (pipelined with collection) ****")
     params = load_params(options.model_path)

@@ -137,12 +137,14 @@ def invdel_read(qname: str, chrom: str, anchor: int, flank: int, il: int,
 def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 support: int = 8,
                 events: List[Tuple[str, str, int, int]] = None,
-                noise: bool = False) -> List[Tuple]:
+                noise: bool = False, coverage: int = 6) -> List[Tuple]:
     """events: [(kind, chrom, anchor, size)]; returns the event list used.
 
     noise=True adds records every caller must FILTER (collect_signatures.py
     131-155 semantics): low-mapq SV reads, secondary alignments, unmapped
-    records."""
+    records. coverage sets the background depth (5 kb reads every 2.5 kb,
+    coverage/2 staggered copies; default 6x keeps the historical read set
+    byte-stable for seeded tests)."""
     rng = random.Random(seed)
     chrom = list(genome_seq)[0]
     g = genome_seq[chrom]
@@ -195,9 +197,14 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
         records.append(SamRecord("unmapped0", 4, ch, anchor, 0, "*",
                                  g0[anchor:anchor + 300]))
     # background coverage: clean reads across every chrom
+    copies = max(1, coverage // 2)
     for chrom, g in genome_seq.items():
-        for i in range(0, len(g) - 6000, 2500):
-            for k in range(3):
+        # keep the historical bound for the default depth (seed-stable
+        # tests); deeper settings shrink it so every staggered copy fits
+        bound = (len(g) - 6000 if copies == 3
+                 else len(g) - 5000 - 311 * copies)
+        for i in range(0, bound, 2500):
+            for k in range(copies):
                 records.append(SamRecord(
                     f"bg_{chrom}_{i}_{k}", 0, chrom, i + k * 311, 60,
                     "5000M", g[i + k * 311:i + k * 311 + 5000]))
