@@ -191,16 +191,20 @@ def fold_conv1_params(params: Params) -> Params:
     conv1/weights: [11,11,3,96] -> [3,3,48,96] with the x255 scale folded in;
     conv1/biases absorbs the IMAGE_MEAN shift. All other entries unchanged.
     Exact in f32 arithmetic (bf16 rounding differs only in quantization order).
+
+    Computed in host numpy (only conv1's ~140 KB are touched): callers can
+    fold BEFORE the host->device transfer and ship bf16 params directly —
+    on a tunneled link the f32 transfer of the 227 MB pytree costs ~27 s.
     """
-    w = jnp.asarray(params["conv1/weights"], jnp.float32)      # [11,11,3,96]
-    b = jnp.asarray(params["conv1/biases"], jnp.float32)
-    mean = jnp.asarray(IMAGE_MEAN, jnp.float32)
+    w = np.asarray(params["conv1/weights"], np.float32)        # [11,11,3,96]
+    b = np.asarray(params["conv1/biases"], np.float32)
+    mean = np.asarray(IMAGE_MEAN, np.float32)
     # bias' = bias - sum_{h,w,c} W[h,w,c,o] * mean[c]  (VALID conv: every tap
     # sees a mean-subtracted pixel)
-    b_fold = b - jnp.einsum("hwco,c->o", w, mean)
-    w_scaled = w * 255.0
+    b_fold = b - np.einsum("hwco,c->o", w, mean)
+    w_scaled = w * np.float32(255.0)
     pad = _K1_PAD - w.shape[0]
-    w_pad = jnp.pad(w_scaled, ((0, pad), (0, pad), (0, 0), (0, 0)))
+    w_pad = np.pad(w_scaled, ((0, pad), (0, pad), (0, 0), (0, 0)))
     kh = _K1_PAD // _S2D
     # [12,12,3,96] -> [a,p,b,q,c,o] -> [a,b,(p,q,c),o] = [3,3,48,96]
     w_s2d = (w_pad.reshape(kh, _S2D, kh, _S2D, 3, w.shape[3])
