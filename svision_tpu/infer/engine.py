@@ -50,15 +50,20 @@ def _device_step_fast(folded_params, endpoints, visible, reverse,
 
     raster_kind selects the encoder: 'einsum' (MXU one-hot contraction) or
     'pallas' (VPU membership kernel, ops/pallas_raster.py)."""
+    int8 = compute_dtype == jnp.int8
+    raster_dtype = jnp.bfloat16 if int8 else compute_dtype
     if raster_kind == "pallas":
         from svision_tpu.ops.pallas_raster import render_raster_pallas
         raster = render_raster_pallas(endpoints, visible, reverse,
-                                      dtype=compute_dtype)
+                                      dtype=raster_dtype)
     else:
         raster = rasterize.render_raster(endpoints, visible, reverse,
-                                         dtype=compute_dtype)
-    logits = alexnet.forward_raster(folded_params, raster,
-                                    compute_dtype=compute_dtype)
+                                         dtype=raster_dtype)
+    if int8:
+        logits = alexnet.forward_raster_int8(folded_params, raster)
+    else:
+        logits = alexnet.forward_raster(folded_params, raster,
+                                        compute_dtype=compute_dtype)
     pred = jnp.argmax(logits, axis=1)
     soft = jax.nn.softmax(logits, axis=1)
     # soft[argmax] == max(soft) (softmax is monotone): same element, no gather
@@ -101,11 +106,15 @@ class InferenceEngine:
 
     def __init__(self, params, batch_size: int = 128, bf16: bool = True,
                  fast: bool = True, chunk: int = 128, raster: str = "einsum",
-                 tail: Optional[str] = None):
+                 tail: Optional[str] = None, int8: bool = False):
         self.batch_size = batch_size
         self.chunk = chunk              # batches per device dispatch
         self.raster = raster            # 'einsum' (MXU) or 'pallas' (VPU)
-        self.compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
+        # int8 turbo: quantized MXU path (2x bf16 rate on v5e); jnp.int8 as
+        # compute_dtype selects it inside the jitted steps
+        self.int8 = int8 and bf16 and fast
+        self.compute_dtype = (jnp.int8 if self.int8
+                              else jnp.bfloat16 if bf16 else jnp.float32)
         # exact mode (bf16=False) keeps the reference-faithful f32 path;
         # the folded fast path's reassociation error is below bf16 rounding
         # anyway, so it only ever rides with bf16
@@ -114,16 +123,23 @@ class InferenceEngine:
             # Fold on the HOST, then ship params in the dtype the program
             # uses them: bf16 weights/biases (the backbone casts to bf16
             # in-program anyway — pre-casting is the same round-to-nearest,
-            # bitwise-identical logits) and f32 for fc8's bias. Halves the
-            # host->device transfer (227 MB f32 costs ~27 s on the tunneled
-            # link) and keeps a single device copy instead of raw + folded.
+            # bitwise-identical logits) and f32 for fc8's bias; int8 weights
+            # + f32 per-channel scales in turbo mode (4x less transfer).
+            # Halves (quarters) the host->device transfer — 227 MB f32 costs
+            # ~27 s on the tunneled link — and keeps a single device copy
+            # instead of raw + folded.
             import ml_dtypes
             host = {k: np.asarray(v) for k, v in params.items()}
             folded = alexnet.fold_conv1_params(host)
-            self.folded_params = {
-                k: (jnp.asarray(v) if k == "fc8/biases"
-                    else jnp.asarray(v.astype(ml_dtypes.bfloat16)))
-                for k, v in folded.items()}
+            if self.int8:
+                quant = alexnet.quantize_params_int8(folded)
+                self.folded_params = {k: jnp.asarray(v)
+                                      for k, v in quant.items()}
+            else:
+                self.folded_params = {
+                    k: (jnp.asarray(v) if k == "fc8/biases"
+                        else jnp.asarray(v.astype(ml_dtypes.bfloat16)))
+                    for k, v in folded.items()}
             self.params = host          # host-resident; unused on device
         else:
             self.params = jax.tree_util.tree_map(jnp.asarray, params)
