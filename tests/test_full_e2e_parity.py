@@ -31,7 +31,38 @@ MIN_SUPPORT = 3
 BATCH_SIZE = 32
 SAMPLE = "parity"
 
+
+def _fuzz_events(seed, chrom_sizes, kinds, spacing=24000):
+    """Seeded random event soup: random kinds/sizes on a jittered grid
+    (grid spacing >> 2x read flank so events never interact)."""
+    import random as _random
+    rng = _random.Random(seed)
+    events = []
+    for chrom, size in chrom_sizes.items():
+        pos = 15000
+        while pos < size - 15000:
+            events.append((rng.choice(kinds), chrom,
+                           pos + rng.randint(0, 4000),
+                           rng.randint(60, 900)))
+            pos += spacing
+    return events
+
+
 CONFIGS = {
+    # seeded random event soup over two chromosomes + filter noise — the
+    # differential-fuzz capstone: any divergence from the executing
+    # reference on arbitrary mixed inputs fails byte identity
+    "fuzz": dict(
+        chroms={"chr1": 260000, "chr2": 200000},
+        events=_fuzz_events(101, {"chr1": 260000, "chr2": 200000},
+                            ["DEL", "INS", "INV", "tDUP", "DUP"]),
+        noise=True, flags={}, seed=61),
+    # fuzz incl. compound events under --graph --qname (GFA + isomorphism
+    # artifacts byte-checked for every record the soup produces)
+    "fuzz_graph": dict(
+        events=_fuzz_events(103, {"chr1": 150000},
+                            ["DEL", "INS", "DEL+INS", "INV+DEL"]),
+        flags=dict(graph=True, qname=True), seed=67, ckpt_seed=1248),
     "base": dict(
         events=[("DEL", "chr1", 20000, 300), ("INS", "chr1", 60000, 220),
                 ("INV", "chr1", 100000, 400), ("DEL", "chr1", 130000, 150)],
