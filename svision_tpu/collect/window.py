@@ -51,27 +51,45 @@ def run_detect(options, bam_path: str, chrom: str, part: int, start: int,
         # [start, end] only overlaps reads the window fetch already returned,
         # so counting is a vectorized scan over the in-memory spans instead
         # of a fresh BAM fetch per cluster (classes.py:165-170 re-opens the
-        # BAM each time). The spans are captured while STREAMING the fetch
-        # through the signature stage (two ints/read, not whole records);
-        # spans sticking out of the window fall back to the indexed count.
-        pos_list: List[int] = []
-        end_list: List[int] = []
+        # BAM each time). Spans sticking out of the window fall back to the
+        # indexed count.
+        batch = bam.fetch_batch(chrom, start, end)
+        if batch is not None:
+            # Native SoA path: spans come straight from the batch arrays and
+            # the vectorized prefilter drops clean qname groups before any
+            # Aln object is built (collect/prefilter.py) — in a deep-coverage
+            # window ~97% of reads never reach the Python signature stack.
+            from svision_tpu.collect.prefilter import qualifying_read_mask
+            from svision_tpu.io.bam import _batch_to_alns
+            pos = batch.pos.astype(np.int64)
+            endpos = np.maximum(batch.endpos, batch.pos + 1).astype(np.int64)
+            min_mapq = 0 if options.contig else options.min_mapq
+            keep = qualifying_read_mask(batch, min_mapq, options.min_sv_size)
+            alns = _batch_to_alns(batch, bam.references,
+                                  indices=np.nonzero(keep)[0])
+            sigs = analyze_alignments(alns, options, ref)
+        else:
+            # pure-Python fallback: capture spans while STREAMING the fetch
+            # through the signature stage (two ints/read, not whole records)
+            pos_list: List[int] = []
+            end_list: List[int] = []
 
-        def _record_spans(it):
-            for a in it:
-                pos_list.append(a.reference_start)
-                # fetch/count clamp zero-ref-span records to one base
-                # (end_pos(), svio.cc) — mirror that here
-                end_list.append(max(a.reference_end, a.reference_start + 1))
-                yield a
+            def _record_spans(it):
+                for a in it:
+                    pos_list.append(a.reference_start)
+                    # fetch/count clamp zero-ref-span records to one base
+                    # (end_pos(), svio.cc) — mirror that here
+                    end_list.append(max(a.reference_end,
+                                        a.reference_start + 1))
+                    yield a
 
-        sigs = analyze_alignments(_record_spans(bam.fetch(chrom, start, end)),
-                                  options, ref)
+            sigs = analyze_alignments(
+                _record_spans(bam.fetch(chrom, start, end)), options, ref)
+            pos = np.asarray(pos_list, np.int64)
+            endpos = np.asarray(end_list, np.int64)
         result.n_signatures = len(sigs)
         logging.info("Processing %s:%s-%s, %s signatures", chrom, start, end,
                      len(sigs))
-        pos = np.asarray(pos_list, np.int64)
-        endpos = np.asarray(end_list, np.int64)
 
         def coverage_counter(contig: str, cstart: int, cend: int) -> int:
             if contig == chrom and cstart >= start and cend <= end:

@@ -304,8 +304,13 @@ class BamReader:
         return native_io, chunks, tid, int(start), int(stop), voffset0, False
 
     def fetch_batch(self, contig: str, start: int = 0, stop: int = None,
-                    decode_seq: bool = True):
-        """Native structure-of-arrays fetch (None if lib unavailable)."""
+                    decode_seq="packed"):
+        """Native structure-of-arrays fetch (None if lib unavailable).
+
+        decode_seq defaults to "packed": the C++ scan memcpys the raw 4-bit
+        sequence bytes (half the traffic, no expand loop) and
+        NativeBatch.seq decodes lazily — only for records that survive the
+        clean-read prefilter. True = legacy ASCII, False = no sequences."""
         args = self._native_args(contig, start, stop)
         if args is None:
             return None
@@ -351,9 +356,11 @@ class BamReader:
         self.close()
 
 
-def _batch_to_alns(batch, names: List[str]) -> Iterator[Aln]:
-    """Native SoA batch -> Aln views (H->S rewrite applied)."""
-    for i in range(batch.n):
+def _batch_to_alns(batch, names: List[str], indices=None) -> Iterator[Aln]:
+    """Native SoA batch -> Aln views (H->S rewrite applied). `indices`
+    restricts decoding to a subset of records (collect/prefilter.py)."""
+    for i in (range(batch.n) if indices is None else indices):
+        i = int(i)
         ops = batch.cigar_ops(i)
         cigar = []
         for v in ops:

@@ -114,6 +114,7 @@ struct Batch {
   std::vector<char> qname_buf;
   std::vector<uint32_t> cigar_buf;
   std::vector<char> seq_buf;
+  std::vector<int32_t> seq_len;   // ASCII length per record (packed mode)
 };
 
 const char SEQ_NT[17] = "=ACMGRSVTWYHKDBN";
@@ -126,8 +127,12 @@ inline uint16_t rd_u16(const uint8_t* p) { uint16_t v; memcpy(&v, p, 2); return 
 
 // Parse one record payload into the batch when it overlaps [start,end) on tid.
 // Returns: 0 skipped, 1 kept, 2 past-region (caller may stop on sorted input).
+// decode_seq: 0 = skip sequences, 1 = expand to ASCII, 2 = copy the raw
+// 4-bit-packed bytes (half the memory traffic and no expand loop; Python
+// decodes lazily per record it actually keeps after the clean-read
+// prefilter, collect/prefilter.py).
 int parse_record(const uint8_t* buf, int size, int tid, int64_t start,
-                 int64_t end, bool count_only, bool decode_seq, Batch* out) {
+                 int64_t end, bool count_only, int decode_seq, Batch* out) {
   int32_t refid = rd_i32(buf);
   int32_t pos = rd_i32(buf + 4);
   uint8_t l_read_name = buf[8];
@@ -224,7 +229,7 @@ int parse_record(const uint8_t* buf, int size, int tid, int64_t start,
   }
   out->cigar_off.push_back((int64_t)out->cigar_buf.size());
 
-  if (decode_seq && l_seq > 0) {
+  if (decode_seq == 1 && l_seq > 0) {
     const uint8_t* sp = cig + 4 * n_cigar;
     size_t base = out->seq_buf.size();
     out->seq_buf.resize(base + l_seq);
@@ -232,8 +237,14 @@ int parse_record(const uint8_t* buf, int size, int tid, int64_t start,
       uint8_t b = sp[i >> 1];
       out->seq_buf[base + i] = SEQ_NT[(i & 1) ? (b & 0xf) : (b >> 4)];
     }
+  } else if (decode_seq == 2 && l_seq > 0) {
+    const uint8_t* sp = cig + 4 * n_cigar;
+    int packed = (l_seq + 1) / 2;
+    out->seq_buf.insert(out->seq_buf.end(), (const char*)sp,
+                        (const char*)(sp + packed));
   }
   out->seq_off.push_back((int64_t)out->seq_buf.size());
+  out->seq_len.push_back(decode_seq ? l_seq : 0);
   return 1;
 }
 
@@ -271,7 +282,7 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
       rec.resize(size);
       if (cur.read(rec.data(), size) != (size_t)size) break;
       int rc = parse_record(rec.data(), size, tid, start, end,
-                            count_only != 0, decode_seq != 0, &res->batch);
+                            count_only != 0, decode_seq, &res->batch);
       if (rc == 1) res->count++;
       else if (rc == 2) break;  // sorted: past the region
     }
@@ -302,6 +313,7 @@ int64_t* svio_cigar_off(SvioResult* r) { return r->batch.cigar_off.data(); }
 uint32_t* svio_cigar_buf(SvioResult* r) { return r->batch.cigar_buf.data(); }
 int64_t svio_cigar_buf_len(SvioResult* r) { return (int64_t)r->batch.cigar_buf.size(); }
 int64_t* svio_seq_off(SvioResult* r) { return r->batch.seq_off.data(); }
+int32_t* svio_seq_len(SvioResult* r) { return r->batch.seq_len.data(); }
 char* svio_seq_buf(SvioResult* r) { return r->batch.seq_buf.data(); }
 int64_t svio_seq_buf_len(SvioResult* r) { return (int64_t)r->batch.seq_buf.size(); }
 

@@ -62,7 +62,8 @@ def _load():
             ("svio_cigar_off", ctypes.POINTER(ctypes.c_int64)),
             ("svio_cigar_buf", ctypes.POINTER(ctypes.c_uint32)),
             ("svio_seq_off", ctypes.POINTER(ctypes.c_int64)),
-            ("svio_seq_buf", ctypes.POINTER(ctypes.c_char))]:
+            ("svio_seq_buf", ctypes.POINTER(ctypes.c_char)),
+            ("svio_seq_len", ctypes.POINTER(ctypes.c_int32))]:
         fn = getattr(lib, name)
         fn.restype = ctype
         fn.argtypes = [ctypes.c_void_p]
@@ -80,12 +81,16 @@ def available() -> bool:
     return _load() is not None
 
 
+# BAM 4-bit base codes -> ASCII (SAM spec "=ACMGRSVTWYHKDBN")
+_NT16 = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8)
+
+
 class NativeBatch:
     """Python-owned copies of one fetch's structure-of-arrays."""
 
     __slots__ = ("n", "refid", "pos", "endpos", "flag", "mapq",
                  "qname_off", "qname_buf", "cigar_off", "cigar_buf",
-                 "seq_off", "seq_buf")
+                 "seq_off", "seq_buf", "seq_len", "packed")
 
     def qname(self, i: int) -> str:
         return self.qname_buf[self.qname_off[i]:self.qname_off[i + 1]].decode()
@@ -97,23 +102,34 @@ class NativeBatch:
         lo, hi = self.seq_off[i], self.seq_off[i + 1]
         if hi == lo:
             return None
-        return self.seq_buf[lo:hi].decode()
+        if not getattr(self, "packed", False):
+            return self.seq_buf[lo:hi].decode()
+        # packed mode: raw nibble pairs, decoded here only for records the
+        # prefilter kept — the C++ scan never pays the expand loop
+        pk = np.frombuffer(self.seq_buf, np.uint8, count=hi - lo, offset=lo)
+        out = np.empty(pk.size * 2, np.uint8)
+        out[0::2] = _NT16[pk >> 4]
+        out[1::2] = _NT16[pk & 0xF]
+        return out[:self.seq_len[i]].tobytes().decode()
 
 
 def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
           start: int, end: int, count_only: bool = False,
-          decode_seq: bool = True, voffset0: int = 0):
+          decode_seq=True, voffset0: int = 0):
     """Run the native fetch; returns record count (count_only) or NativeBatch.
 
-    With an empty chunk list, scans forward from voffset0 (the body start)
-    filtering by region — the no-index fallback."""
+    decode_seq: False/0 = none, True/1 = ASCII, "packed"/2 = raw nibbles
+    decoded lazily by NativeBatch.seq. With an empty chunk list, scans
+    forward from voffset0 (the body start) filtering by region — the
+    no-index fallback."""
     lib = _load()
     assert lib is not None
+    seq_mode = 2 if decode_seq == "packed" else int(bool(decode_seq))
     n = len(chunks)
     beg = (ctypes.c_uint64 * n)(*[c[0] for c in chunks]) if n else None
     endv = (ctypes.c_uint64 * n)(*[c[1] for c in chunks]) if n else None
     res = lib.svio_fetch(bam_path.encode(), beg, endv, n, voffset0, tid,
-                         start, end, int(count_only), int(decode_seq))
+                         start, end, int(count_only), seq_mode)
     if not res:
         raise OSError(f"svio_fetch failed for {bam_path}")
     try:
@@ -143,6 +159,9 @@ def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
         b.cigar_buf = arr(lib.svio_cigar_buf, int(clen), np.uint32) if clen else np.zeros(0, np.uint32)
         slen = lib.svio_seq_buf_len(res)
         b.seq_buf = ctypes.string_at(lib.svio_seq_buf(res), slen) if slen else b""
+        b.packed = seq_mode == 2
+        b.seq_len = (arr(lib.svio_seq_len, b.n, np.int32) if seq_mode == 2
+                     else None)
         return b
     finally:
         lib.svio_result_free(res)

@@ -1,0 +1,88 @@
+"""Vectorized clean-read prefilter (collect/prefilter.py): the native-batch
+collection path must behave exactly like the unfiltered iterator path."""
+import os
+
+import numpy as np
+import pytest
+
+from svision_tpu.collect.prefilter import qname_hashes, qualifying_read_mask
+from svision_tpu.collect.window import run_detect
+from svision_tpu.config import default_options
+from svision_tpu.io.bam import BamReader
+from svision_tpu.io import native_io
+from svision_tpu.sim import make_genome, make_sv_bam
+
+
+@pytest.fixture(scope="module")
+def ws(tmp_path_factory):
+    root = tmp_path_factory.mktemp("prefilter")
+    fa = str(root / "g.fa")
+    genome = make_genome(fa, {"chr1": 200000}, seed=9)
+    bam = str(root / "s.bam")
+    events = [("DEL", "chr1", 30000, 300), ("INV", "chr1", 90000, 400),
+              ("tDUP", "chr1", 150000, 350)]
+    make_sv_bam(bam, genome, seed=9, support=5, events=events, noise=True)
+    return dict(fa=fa, bam=bam, root=str(root))
+
+
+def _batch(ws):
+    if not native_io.ensure_built():
+        pytest.skip("native IO unavailable")
+    with BamReader(ws["bam"]) as bam:
+        return bam.fetch_batch("chr1", 0, 200000)
+
+
+def test_hashes_group_consistent(ws):
+    b = _batch(ws)
+    h = qname_hashes(b)
+    names = [b.qname(i) for i in range(b.n)]
+    by_name = {}
+    for i, n in enumerate(names):
+        by_name.setdefault(n, set()).add(int(h[i]))
+    # one hash per qname (grouping never splits a group)
+    assert all(len(v) == 1 for v in by_name.values())
+    # and essentially no collisions on this corpus
+    distinct = {list(v)[0] for v in by_name.values()}
+    assert len(distinct) == len(by_name)
+
+
+def test_mask_semantics(ws):
+    b = _batch(ws)
+    keep = qualifying_read_mask(b, min_mapq=10, min_sv_size=50)
+    names = [b.qname(i) for i in range(b.n)]
+    kept = {names[i] for i in np.nonzero(keep)[0]}
+    # every SV support read's group kept, whole
+    sv_names = {n for n in names if n.startswith("sv")}
+    assert sv_names <= kept
+    for i, n in enumerate(names):
+        if n in kept and not (int(b.flag[i]) & 0x104) and b.mapq[i] >= 10:
+            assert keep[i], (n, i)
+    # background + noise dropped
+    assert not any(n.startswith("bg_") for n in kept)
+    assert not any(n.startswith("lowmq") for n in kept)    # mapq 5 < 10
+    assert "secread" not in kept and "unmapped0" not in kept
+
+
+def test_run_detect_parity_with_fallback(ws, monkeypatch):
+    opt = default_options(out_path=ws["root"], bam_path=ws["bam"],
+                          genome=ws["fa"], model_path="x", sample="S")
+    fast = run_detect(opt, ws["bam"], "chr1", 0, 0, 200000)
+    assert fast.error is None and fast.candidates
+
+    monkeypatch.setattr(BamReader, "fetch_batch",
+                        lambda self, *a, **k: None)
+    slow = run_detect(opt, ws["bam"], "chr1", 0, 0, 200000)
+    assert slow.error is None
+
+    assert fast.n_signatures == slow.n_signatures
+    assert [c.to_bed_line() for c in fast.candidates] == \
+        [c.to_bed_line() for c in slow.candidates]
+
+
+def test_mask_contig_mode_mapq(ws):
+    """Contig mode drops the mapq gate (collect_signatures.py:125)."""
+    b = _batch(ws)
+    keep0 = qualifying_read_mask(b, min_mapq=0, min_sv_size=50)
+    names = [b.qname(i) for i in range(b.n)]
+    kept = {names[i] for i in np.nonzero(keep0)[0]}
+    assert any(n.startswith("lowmq") for n in kept)
