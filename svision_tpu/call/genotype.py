@@ -16,7 +16,13 @@ def genotyper(candidate, support_reads: Sequence[str], bam, options
     contig, start, end, svtype = candidate
 
     contig_length = bam.get_reference_length(contig)
-    aligns = bam.fetch(contig, max(0, start - 1000), min(contig_length, end + 1000))
+    # positions/CIGARs/flags only — skip sequence decode on the native path
+    try:
+        aligns = bam.fetch(contig, max(0, start - 1000),
+                           min(contig_length, end + 1000), decode_seq=False)
+    except TypeError:       # test doubles with a plain fetch(contig, s, e)
+        aligns = bam.fetch(contig, max(0, start - 1000),
+                           min(contig_length, end + 1000))
 
     support_alt = set(support_reads)
     support_ref = set()

@@ -323,10 +323,14 @@ class BamReader:
                                count_only=False, decode_seq=decode_seq,
                                voffset0=voffset0)
 
-    def fetch(self, contig: str, start: int = 0, stop: int = None
-              ) -> Iterator[Aln]:
+    def fetch(self, contig: str, start: int = 0, stop: int = None,
+              decode_seq="packed") -> Iterator[Aln]:
+        """decode_seq=False skips sequence decode on the native path
+        (callers that only need positions/CIGARs/flags — e.g. the
+        genotyper's ref-read scan); the pure-Python fallback always
+        carries sequences."""
         name_cache = self.references
-        batch = self.fetch_batch(contig, start, stop)
+        batch = self.fetch_batch(contig, start, stop, decode_seq=decode_seq)
         if batch is not None:
             yield from _batch_to_alns(batch, name_cache)
             return

@@ -98,7 +98,8 @@ def _random_reads(rng, n_reads, genome_len=GENOME_LEN):
     for ri in range(n_reads):
         qname = f"read{ri}"
         kind = rng.choice(["cigar_del", "cigar_ins", "split_del", "split_inv",
-                           "split_dup", "clean", "multi"])
+                           "split_dup", "clean", "multi", "small_noise",
+                           "mixed_noise"])
         anchor = rng.randint(1000, genome_len - 20000)
         sv = rng.randint(50, 800)
         m = rng.randint(300, 3000)
@@ -144,6 +145,21 @@ def _random_reads(rng, n_reads, genome_len=GENOME_LEN):
                 dict(flag=2048, ref_start=anchor + 2 * m + 2 * sv,
                      cigar=f"{2 * m}H{m}M"),
             ]
+        elif kind == "small_noise":
+            # sub-threshold I/D ops only: analyze_inside_align must skip
+            # every one (< min_sv_size gate, analyze_reads.py:828-838)
+            i1, d1, i2 = rng.randint(1, 49), rng.randint(1, 49), \
+                rng.randint(1, 49)
+            parts = [dict(flag=0, ref_start=anchor,
+                          cigar=f"{m}M{i1}I{m}M{d1}D{m}M{i2}I{m}M")]
+            seq_len = 4 * m + i1 + i2
+        elif kind == "mixed_noise":
+            # a real deletion surrounded by sub-threshold noise ops: only
+            # the big op may split the alignment
+            small = rng.randint(1, 49)
+            parts = [dict(flag=0, ref_start=anchor,
+                          cigar=f"{m}M{small}I{m}M{sv}D{m}M{small}D{m}M")]
+            seq_len = 4 * m + small
         else:  # clean
             parts = [dict(flag=0, ref_start=anchor, cigar=f"{2 * m}M")]
             seq_len = 2 * m
