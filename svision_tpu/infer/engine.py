@@ -161,6 +161,9 @@ class InferenceEngine:
 
     _SENTINEL = np.array([[0, 1, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2]],
                          dtype=np.int64)   # create_batch.py:55
+    # tails up to this many batches dispatch per-batch instead of padding
+    # to a full super-chunk (see predict_specs)
+    _TAIL_SINGLE_MAX = 16
 
     def _pad(self, specs: np.ndarray, multiple: int) -> np.ndarray:
         pad = (-specs.shape[0]) % multiple
@@ -177,8 +180,9 @@ class InferenceEngine:
         compile with host-side signature collection."""
         self.predict_specs(np.repeat(self._SENTINEL, 1, 0))
         if self.tail == "full":
+            # exactly one full super-chunk: compiles the scan program
             self.predict_specs(
-                np.repeat(self._SENTINEL, self.batch_size + 1, 0))
+                np.repeat(self._SENTINEL, self.batch_size * self.chunk, 0))
 
     def warmup_async(self):
         """Start warmup() on a daemon thread; returns the thread (join before
@@ -213,23 +217,35 @@ class InferenceEngine:
             return np.asarray(p)[:n], np.asarray(s)[:n]
 
         # adaptive chunking: full super-chunks of `chunk` batches, then a
-        # tail sized by self.tail ('full': pad to a full chunk so only one
-        # scan shape ever compiles; 'pow2': smallest covering power of 2)
+        # tail. Tail policy:
+        #   'full' (TPU): a SHORT tail (<= _TAIL_SINGLE_MAX batches) goes out
+        #     as per-batch dispatches of the already-compiled single-batch
+        #     program — async, so their round-trips overlap; a long tail pads
+        #     to one full chunk (one extra program shape ever). Padding a
+        #     10-batch tail to a 128-batch scan costs ~0.4 s of sentinel
+        #     compute PER CALL (per chromosome in the CLI) — per-batch
+        #     dispatch costs ~a round-trip and no new compile.
+        #   'pow2' (CPU tests): smallest covering power of 2 per tail —
+        #     compiles are cheap there, runtime dominates.
         chunks: List[int] = []
         remaining = -(-n // bs)            # total batches needed
         while remaining >= self.chunk:
             chunks.append(self.chunk)
             remaining -= self.chunk
+        singles = 0
         if remaining:
             if self.tail == "full":
-                chunks.append(self.chunk)
+                if remaining <= self._TAIL_SINGLE_MAX:
+                    singles = remaining
+                else:
+                    chunks.append(self.chunk)
             else:
                 c = 1
                 while c < remaining:
                     c *= 2
                 chunks.append(min(c, self.chunk))
 
-        specs = self._pad(specs, bs * sum(chunks))
+        specs = self._pad(specs, bs * (sum(chunks) + singles))
         ep, vis, rev = rasterize.specs_to_endpoints(specs)
         # ONE host->device transfer per array; per-chunk slice+reshape happen
         # device-side (async dispatch). Per-transfer round-trip latency on a
@@ -250,6 +266,17 @@ class InferenceEngine:
                 compute_dtype=self.compute_dtype, fast=self.fast,
                 raster_kind=self.raster))
             i += sb
+        for _ in range(singles):
+            if self.fast:
+                outs.append(_device_step_fast(
+                    self.folded_params, ep_d[i:i + bs], vis_d[i:i + bs],
+                    rev_d[i:i + bs], compute_dtype=self.compute_dtype,
+                    raster_kind=self.raster))
+            else:
+                outs.append(_device_step(
+                    self.params, ep_d[i:i + bs], vis_d[i:i + bs],
+                    rev_d[i:i + bs], compute_dtype=self.compute_dtype))
+            i += bs
         preds = np.concatenate([np.asarray(p) for p, _ in outs])
         softs = np.concatenate([np.asarray(s) for _, s in outs])
         return preds[:n], softs[:n]
