@@ -173,14 +173,20 @@ class InferenceEngine:
         return specs
 
     def warmup(self) -> None:
-        """Compile (and execute on sentinel rows) every program shape this
-        engine will dispatch: the single-batch program and, under the 'full'
-        tail policy, the one super-chunk scan. Run it in a background thread
-        (XLA compilation releases the GIL) to overlap the 20-260 s tunnel
-        compile with host-side signature collection."""
+        """Compile every program shape this engine will dispatch: the
+        single-batch program (executed once on sentinel rows — also primes
+        the device transfer path) and, under the 'full' tail policy, the
+        super-chunk scan (AOT lower+compile only: no 16k-sentinel-image
+        execution, no padded transfer). Run in a background thread (XLA
+        compilation releases the GIL) to overlap the 20-260 s tunnel compile
+        with host-side signature collection."""
         self.predict_specs(np.repeat(self._SENTINEL, 1, 0))
         if self.tail == "full":
-            # exactly one full super-chunk: compiles the scan program
+            # one full sentinel super-chunk: compiles AND first-executes the
+            # scan program so the first real chromosome pays nothing.
+            # (An AOT lower().compile() variant measured WORSE here: the
+            # lowered HLO caches separately from the dispatch path and the
+            # first executable call still paid ~1.6 s of load overhead.)
             self.predict_specs(
                 np.repeat(self._SENTINEL, self.batch_size * self.chunk, 0))
 
