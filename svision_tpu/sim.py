@@ -155,6 +155,12 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
     records: List[SamRecord] = []
     flank = 2000
     for ei, (kind, ch, anchor, size) in enumerate(events):
+        glen = len(genome_seq[ch])
+        if anchor - 2 * flank < 0 or anchor + size + 2 * flank > glen:
+            raise ValueError(
+                f"event {kind}@{ch}:{anchor} size {size} does not fit in the "
+                f"{glen} bp genome with {flank} bp flanks — reads would "
+                "carry truncated sequence")
         for s in range(support):
             q = f"sv{ei}_{s}"
             jitter = rng.randint(-12, 12)

@@ -63,6 +63,13 @@ CONFIGS = {
         events=_fuzz_events(103, {"chr1": 150000},
                             ["DEL", "INS", "DEL+INS", "INV+DEL"]),
         flags=dict(graph=True, qname=True), seed=67, ckpt_seed=1248),
+    # fuzz under --hash: the k-mer realigner reshapes segments before
+    # candidate emission, so any divergence shows in the beds/VCF
+    "fuzz_hash": dict(
+        chroms={"chr1": 180000},
+        events=_fuzz_events(107, {"chr1": 180000},
+                            ["DEL", "INS", "INV", "DUP"]),
+        flags=dict(hash=True), seed=71),
     "base": dict(
         events=[("DEL", "chr1", 20000, 300), ("INS", "chr1", 60000, 220),
                 ("INV", "chr1", 100000, 400), ("DEL", "chr1", 130000, 150)],
