@@ -87,35 +87,40 @@ class _LinkageUnionFind:
 
 
 def linkage_average(dists: np.ndarray, n: int) -> np.ndarray:
-    """Average-linkage via the NN-chain algorithm on a condensed distance
-    matrix. Merge order, tie-breaking and output labeling match
-    scipy.cluster.hierarchy.linkage(method='average')."""
-    d = np.asarray(dists, dtype=np.float64).copy()
+    """Average-linkage via the NN-chain algorithm. Merge order, tie-breaking
+    and output labeling match scipy.cluster.hierarchy.linkage('average')
+    exactly: the nearest-neighbor scan prefers chain[-2] on ties (strict <,
+    first index wins — np.argmin semantics) and the Lance-Williams update is
+    the identical float64 expression, just row-vectorized. The distance
+    matrix is held square (8n² bytes) so every chain step is one C-level
+    argmin instead of an O(n) Python loop — a 10k-signature partition (dense
+    repeat regions; the reference only drops partitions >100k,
+    cluster_signatures.py:80-85) runs in seconds instead of minutes."""
+    d = np.asarray(dists, dtype=np.float64)
+    D = np.full((n, n), np.inf, dtype=np.float64)
+    iu, ju = np.triu_indices(n, k=1)
+    D[iu, ju] = d
+    D[ju, iu] = d
     z = np.empty((n - 1, 4), dtype=np.float64)
     size = np.ones(n, dtype=np.int64)
     chain: List[int] = []
 
     for k in range(n - 1):
         if not chain:
-            for i in range(n):
-                if size[i] > 0:
-                    chain.append(i)
-                    break
+            chain.append(int(np.argmax(size > 0)))
         while True:
             x = chain[-1]
             if len(chain) > 1:
                 y = chain[-2]
-                current_min = d[_condensed_index(n, x, y)]
+                current_min = D[x, y]
             else:
                 y = -1
                 current_min = np.inf
-            for i in range(n):
-                if size[i] == 0 or x == i:
-                    continue
-                dist = d[_condensed_index(n, x, i)]
-                if dist < current_min:
-                    current_min = dist
-                    y = i
+            row = D[x]
+            am = int(np.argmin(row))       # inactive/self rows hold +inf
+            if row[am] < current_min:
+                current_min = row[am]
+                y = am
             if len(chain) > 1 and y == chain[-2]:
                 break
             chain.append(y)
@@ -126,13 +131,14 @@ def linkage_average(dists: np.ndarray, n: int) -> np.ndarray:
         z[k] = (x, y, current_min, nx + ny)
         size[x] = 0
         size[y] = nx + ny
-        # Lance-Williams average update into slot y
-        for i in range(n):
-            ni = size[i]
-            if ni == 0 or i == y:
-                continue
-            ci = _condensed_index(n, i, y)
-            d[ci] = (nx * d[_condensed_index(n, i, x)] + ny * d[ci]) / (nx + ny)
+        # Lance-Williams average update into slot y; x retires to +inf.
+        # Inactive columns are +inf on both sides and stay +inf.
+        new_row = (nx * D[x] + ny * D[y]) / (nx + ny)
+        new_row[y] = np.inf
+        D[y, :] = new_row
+        D[:, y] = new_row
+        D[x, :] = np.inf
+        D[:, x] = np.inf
 
     order = np.argsort(z[:, 2], kind="stable")
     z = z[order]
