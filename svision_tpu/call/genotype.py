@@ -17,12 +17,8 @@ def genotyper(candidate, support_reads: Sequence[str], bam, options
 
     contig_length = bam.get_reference_length(contig)
     # positions/CIGARs/flags only — skip sequence decode on the native path
-    try:
-        aligns = bam.fetch(contig, max(0, start - 1000),
-                           min(contig_length, end + 1000), decode_seq=False)
-    except TypeError:       # test doubles with a plain fetch(contig, s, e)
-        aligns = bam.fetch(contig, max(0, start - 1000),
-                           min(contig_length, end + 1000))
+    aligns = bam.fetch(contig, max(0, start - 1000),
+                       min(contig_length, end + 1000), decode_seq=False)
 
     support_alt = set(support_reads)
     support_ref = set()

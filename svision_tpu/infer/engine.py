@@ -120,26 +120,21 @@ class InferenceEngine:
         # anyway, so it only ever rides with bf16
         self.fast = fast and bf16
         if self.fast:
-            # Fold on the HOST, then ship params in the dtype the program
-            # uses them: bf16 weights/biases (the backbone casts to bf16
-            # in-program anyway — pre-casting is the same round-to-nearest,
-            # bitwise-identical logits) and f32 for fc8's bias; int8 weights
-            # + f32 per-channel scales in turbo mode (4x less transfer).
-            # Halves (quarters) the host->device transfer — 227 MB f32 costs
-            # ~27 s on the tunneled link — and keeps a single device copy
-            # instead of raw + folded.
-            import ml_dtypes
+            # Fold + pre-cast on the HOST (alexnet.fold_params_bf16:
+            # bitwise-identical logits, half the host->device transfer —
+            # 227 MB f32 costs ~27 s on the tunneled link — and one device
+            # copy instead of raw + folded); int8 turbo ships int8 weights
+            # + f32 per-channel scales instead (4x less transfer).
             host = {k: np.asarray(v) for k, v in params.items()}
-            folded = alexnet.fold_conv1_params(host)
             if self.int8:
-                quant = alexnet.quantize_params_int8(folded)
+                quant = alexnet.quantize_params_int8(
+                    alexnet.fold_conv1_params(host))
                 self.folded_params = {k: jnp.asarray(v)
                                       for k, v in quant.items()}
             else:
                 self.folded_params = {
-                    k: (jnp.asarray(v) if k == "fc8/biases"
-                        else jnp.asarray(v.astype(ml_dtypes.bfloat16)))
-                    for k, v in folded.items()}
+                    k: jnp.asarray(v)
+                    for k, v in alexnet.fold_params_bf16(host).items()}
             self.params = host          # host-resident; unused on device
         else:
             self.params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -173,13 +168,12 @@ class InferenceEngine:
         return specs
 
     def warmup(self) -> None:
-        """Compile every program shape this engine will dispatch: the
-        single-batch program (executed once on sentinel rows — also primes
-        the device transfer path) and, under the 'full' tail policy, the
-        super-chunk scan (AOT lower+compile only: no 16k-sentinel-image
-        execution, no padded transfer). Run in a background thread (XLA
-        compilation releases the GIL) to overlap the 20-260 s tunnel compile
-        with host-side signature collection."""
+        """Compile AND first-execute every program shape this engine will
+        dispatch: the single-batch program and, under the 'full' tail
+        policy, one full sentinel super-chunk for the scan program. Run in a
+        background thread (XLA compilation releases the GIL) to overlap the
+        20-260 s compile + remote executable load with host-side signature
+        collection."""
         self.predict_specs(np.repeat(self._SENTINEL, 1, 0))
         if self.tail == "full":
             # one full sentinel super-chunk: compiles AND first-executes the

@@ -316,9 +316,7 @@ class BamReader:
             return None
         native_io, chunks, tid, start, stop, voffset0, empty = args
         if empty:
-            batch = native_io.NativeBatch()
-            batch.n = 0
-            return batch
+            return native_io.empty_batch()
         return native_io.fetch(self.path, chunks, tid, start, stop,
                                count_only=False, decode_seq=decode_seq,
                                voffset0=voffset0)

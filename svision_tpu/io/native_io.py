@@ -113,6 +113,28 @@ class NativeBatch:
         return out[:self.seq_len[i]].tobytes().decode()
 
 
+def empty_batch() -> NativeBatch:
+    """A fully-populated zero-record batch (every array present, so
+    consumers that read .pos/.flag/... before checking .n still work —
+    e.g. a coverage-gap window with an index but no overlapping chunks)."""
+    b = NativeBatch()
+    b.n = 0
+    b.refid = np.zeros(0, np.int32)
+    b.pos = np.zeros(0, np.int32)
+    b.endpos = np.zeros(0, np.int32)
+    b.flag = np.zeros(0, np.uint16)
+    b.mapq = np.zeros(0, np.uint8)
+    b.qname_off = np.zeros(1, np.int64)
+    b.cigar_off = np.zeros(1, np.int64)
+    b.seq_off = np.zeros(1, np.int64)
+    b.qname_buf = b""
+    b.cigar_buf = np.zeros(0, np.uint32)
+    b.seq_buf = b""
+    b.packed = False
+    b.seq_len = np.zeros(0, np.int32)
+    return b
+
+
 def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
           start: int, end: int, count_only: bool = False,
           decode_seq=True, voffset0: int = 0):

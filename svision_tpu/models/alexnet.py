@@ -216,6 +216,21 @@ def fold_conv1_params(params: Params) -> Params:
     return out
 
 
+def fold_params_bf16(params: Params) -> Params:
+    """Host-side param preparation for the fast inference path: fold conv1
+    (space-to-depth + normalization) then pre-cast every leaf to the dtype
+    the bf16 program reads it in — bf16 everywhere except fc8's bias, which
+    `_backbone` keeps f32 for the logits. Pre-casting is the same
+    round-to-nearest the program would apply, so results are
+    bitwise-identical while the host->device transfer halves. Shared by
+    InferenceEngine and ShardedInference so their numerics cannot drift."""
+    import ml_dtypes
+    folded = fold_conv1_params({k: np.asarray(v) for k, v in params.items()})
+    return {k: (np.asarray(v) if k == "fc8/biases"
+                else np.asarray(v).astype(ml_dtypes.bfloat16))
+            for k, v in folded.items()}
+
+
 def _space_to_depth(x: jax.Array) -> jax.Array:
     """[N,227,227,3] -> [N,57,57,48]: pad to 228 and fold 4x4 blocks into
     channels, ordered (p,q,c) to match fold_conv1_params."""

@@ -78,15 +78,9 @@ class ShardedInference:
         self.compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
         self.fast = fast and bf16
         if self.fast:
-            # fold on the host and replicate bf16 params (the program casts
-            # to bf16 anyway — same rounding, half the transfer per device;
-            # see InferenceEngine.__init__)
-            import ml_dtypes
-            folded = alexnet.fold_conv1_params(
-                {k: np.asarray(v) for k, v in params.items()})
-            params = {k: (v if k == "fc8/biases"
-                          else np.asarray(v).astype(ml_dtypes.bfloat16))
-                      for k, v in folded.items()}
+            # same host fold + bf16 pre-cast as InferenceEngine (shared
+            # helper: numerics cannot drift between the two paths)
+            params = alexnet.fold_params_bf16(params)
         self.params = replicate_params(params, mesh)
         # batch rows sharded over 'data' within each scanned chunk
         data_sharding = NamedSharding(mesh, P(None, "data"))

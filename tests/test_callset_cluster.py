@@ -106,7 +106,11 @@ def test_tdup_merges_with_dup(tmp_path):
     # sv_type of the cluster = the LAST member's full SVTYPE
     # (cal_new_cluster overwrites it per item, output.py:43)
     assert body[0].split("\t")[4] == "tDUP"
-    assert "BKPS=tDUP:" not in body[0] or True
+    # BKPS iterates the final sv_type's components (output.py:126-129), so
+    # only the tDUP member's triple survives — the DUP member's breakpoints
+    # are dropped from the merged record (reference behavior)
+    info = dict(kv.split("=", 1) for kv in body[0].split("\t")[7].split(";"))
+    assert info["BKPS"] == "tDUP:300-5010-5310"
 
 
 def test_missing_bam_means_zero_coverage_vaf_one(tmp_path):

@@ -79,6 +79,27 @@ def test_run_detect_parity_with_fallback(ws, monkeypatch):
         [c.to_bed_line() for c in slow.candidates]
 
 
+def test_empty_window_native_path(ws, tmp_path):
+    """A coverage-gap window (index present, no overlapping chunks) must
+    return an empty result, not crash on the stub batch."""
+    from svision_tpu.io.bamwrite import SamRecord, write_bam
+    if not native_io.ensure_built():
+        pytest.skip("native IO unavailable")
+    bam_path = str(tmp_path / "sparse.bam")
+    recs = [SamRecord(f"r{i}", 0, "chr1", 100 + i, 60, "2000M", "A" * 2000)
+            for i in range(3)]
+    write_bam(bam_path, [("chr1", 200000)], recs)
+    opt = default_options(out_path=str(tmp_path), bam_path=bam_path,
+                          genome=ws["fa"], model_path="x", sample="S")
+    with BamReader(bam_path) as bam:
+        batch = bam.fetch_batch("chr1", 150000, 199999)
+        assert batch is not None and batch.n == 0
+        assert batch.pos.size == 0          # fully-populated stub
+    res = run_detect(opt, bam_path, "chr1", 9, 150000, 199999)
+    assert res.error is None, res.error
+    assert res.n_signatures == 0 and res.candidates == []
+
+
 def test_mask_contig_mode_mapq(ws):
     """Contig mode drops the mapq gate (collect_signatures.py:125)."""
     b = _batch(ws)
