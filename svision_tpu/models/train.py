@@ -26,15 +26,21 @@ Params = Dict[str, jax.Array]
 
 def forward_train(params: Params, x: jax.Array, rng: jax.Array,
                   keep_prob: float = 0.5, compute_dtype=jnp.float32):
-    """AlexNet forward with dropout after fc6/fc7 (alexnet.py:48-58)."""
+    """AlexNet forward with dropout after fc6/fc7 (alexnet.py:48-58).
+
+    Intermediate dtype follows compute_dtype (same policy as
+    alexnet._backbone): a bf16 input conv with a forced-f32 output breaks
+    under grad — the conv transpose rule requires the f32 cotangent and the
+    bf16 operand to share a dtype. fc8 keeps f32 logits for the loss."""
+    inter = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
     h = x.astype(compute_dtype)
     for name, _, _, _, stride, padding, groups in alexnet._CONV_SPECS:
         w = params[f"{name}/weights"].astype(compute_dtype)
-        b = params[f"{name}/biases"].astype(jnp.float32)
+        b = params[f"{name}/biases"].astype(inter)
         h = jax.lax.conv_general_dilated(
             h, w, window_strides=(stride, stride), padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=groups, preferred_element_type=jnp.float32)
+            feature_group_count=groups, preferred_element_type=inter)
         h = jax.nn.relu(h + b)
         if name in ("conv1", "conv2"):
             h = alexnet._maxpool(h)
@@ -46,12 +52,16 @@ def forward_train(params: Params, x: jax.Array, rng: jax.Array,
     rngs = jax.random.split(rng, 2)
     for i, (name, _, _) in enumerate(alexnet._FC_SPECS):
         w = params[f"{name}/weights"].astype(compute_dtype)
-        b = params[f"{name}/biases"].astype(jnp.float32)
-        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
-        if name != "fc8":
+        if name == "fc8":
+            b = params[f"{name}/biases"].astype(jnp.float32)
+            h = jnp.dot(h.astype(jnp.float32), w.astype(jnp.float32)) + b
+        else:
+            b = params[f"{name}/biases"].astype(inter)
+            h = jnp.dot(h, w, preferred_element_type=inter) + b
             h = jax.nn.relu(h)
             keep = jax.random.bernoulli(rngs[i], keep_prob, h.shape)
-            h = jnp.where(keep, h / keep_prob, 0.0).astype(compute_dtype)
+            h = jnp.where(keep, h / keep_prob,
+                          jnp.zeros((), inter)).astype(compute_dtype)
     return h
 
 
