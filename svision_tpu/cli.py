@@ -337,11 +337,10 @@ def run_pipeline(options: Options) -> str:
         if options.thread_num > 1:
             # spawn, not fork: the parent has initialized JAX (multithreaded)
             # by this point, and forking a multithreaded process can deadlock
-            # the children. Workers only run host-side collection.
-            import multiprocessing
-            pool = concurrent.futures.ProcessPoolExecutor(
-                max_workers=options.thread_num,
-                mp_context=multiprocessing.get_context("spawn"))
+            # the children. Workers only run host-side collection, and boot
+            # without the device runtime (utils/hostpool.py).
+            from svision_tpu.utils.hostpool import host_only_pool
+            pool = host_only_pool(options.thread_num)
         with profile_ctx:
             chrom_order = list(tasks)
             inflight: List = []   # [(chrom, items)] in chrom_order
