@@ -1,0 +1,340 @@
+// Fast raw-DEFLATE (RFC 1951) decoder for BGZF blocks.
+//
+// BGZF decode is the #1 cost of the host pipeline (~80% of collection time;
+// system zlib measured 590 MB/s on sim BAMs). This decoder exploits what the
+// BGZF framing guarantees — the exact inflated size is known up front, blocks
+// are <= 64 KiB — to skip all streaming/allocation machinery:
+//
+//   * 64-bit bit buffer refilled 8 bytes at a time (caller pads input by 8)
+//   * one-level 10-bit Huffman fast table; rare longer codes take a
+//     canonical bit-by-bit slow path (no subtables to build per block)
+//   * match copy specialized for the patterns BAM payloads produce:
+//     dist==1 -> memset (quality-score runs), dist>=8 -> 8-byte word copy,
+//     else pattern doubling
+//
+// The caller (svio.cc BgzfCursor) verifies the gzip ISIZE matches and falls
+// back to zlib on any error return, so a decode bug degrades to the old
+// speed, never to wrong bytes. Output equality vs zlib is fuzz-tested over
+// compression levels and payload shapes in tests/test_fast_inflate.py.
+//
+// C ABI: svio_inflate(in, in_len, out, out_len) -> 0 ok / <0 error.
+// `in` MUST have 8 readable bytes of slack past in_len; `out` MUST have 8
+// writable bytes of slack past out_len (both arranged by the caller).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int kTableBits = 10;
+constexpr int kTableSize = 1 << kTableBits;
+
+// Canonical-Huffman decoder state for one alphabet.
+struct Huff {
+  // fast[idx] = (symbol << 5) | code_len; code_len==0 -> use slow path
+  uint16_t fast[kTableSize];
+  // canonical slow-path tables
+  uint16_t count[16];    // number of codes of each length
+  uint16_t first[16];    // first canonical code of each length (MSB-first)
+  uint16_t offset[16];   // index into sorted[] of first symbol of each length
+  uint16_t sorted[288];  // symbols ordered by (code length, symbol)
+  int max_len;
+
+  // lens[i] = code length of symbol i (0 = unused). Returns false on an
+  // over-/under-subscribed code (corrupt stream), except the degenerate
+  // one-code case which DEFLATE permits for the distance tree.
+  bool build(const uint8_t* lens, int n) {
+    memset(count, 0, sizeof(count));
+    for (int i = 0; i < n; i++) count[lens[i]]++;
+    count[0] = 0;
+    int total = 0;
+    max_len = 0;
+    for (int l = 1; l <= 15; l++) {
+      if (count[l]) max_len = l;
+      total += count[l];
+    }
+    // Kraft check: reject over-subscribed codes. Incomplete codes are
+    // permitted (DEFLATE's fixed distance tree covers 30 of 32 slots); the
+    // unused code space simply has no fast-table entry and no canonical
+    // match, so a stream that references it fails at decode_sym.
+    int left = 1;
+    for (int l = 1; l <= 15; l++) {
+      left <<= 1;
+      left -= count[l];
+      if (left < 0) return false;  // over-subscribed
+    }
+    (void)total;
+    uint16_t code = 0;
+    int off = 0;
+    for (int l = 1; l <= 15; l++) {
+      first[l] = code;
+      offset[l] = (uint16_t)off;
+      code = (uint16_t)((code + count[l]) << 1);
+      off += count[l];
+    }
+    int pos[16];
+    for (int l = 1; l <= 15; l++) pos[l] = offset[l];
+    for (int i = 0; i < n; i++)
+      if (lens[i]) sorted[pos[lens[i]]++] = (uint16_t)i;
+
+    memset(fast, 0, sizeof(fast));
+    // fill fast table: codes are MSB-first in the spec but the stream feeds
+    // LSB-first, so a code of length l occupies the bit-reversed low l bits
+    for (int l = 1; l <= 15 && l <= kTableBits; l++) {
+      uint16_t c = first[l];
+      for (int k = 0; k < count[l]; k++, c++) {
+        uint16_t sym = sorted[offset[l] + k];
+        // bit-reverse c over l bits
+        uint32_t rev = 0;
+        for (int b = 0; b < l; b++) rev |= ((c >> b) & 1u) << (l - 1 - b);
+        uint16_t entry = (uint16_t)((sym << 5) | l);
+        for (uint32_t idx = rev; idx < kTableSize; idx += (1u << l))
+          fast[idx] = entry;
+      }
+    }
+    return true;
+  }
+};
+
+struct Bits {
+  const uint8_t* in;
+  const uint8_t* end;   // logical end (slack lies beyond)
+  uint64_t hold = 0;
+  int nbits = 0;
+  int ghost_bits = 0;   // zero bits fed past `end`; consuming them = error
+
+  inline void refill() {
+    while (nbits < 56) {
+      if (in >= end) {
+        // feed zero bits; the final check rejects decodes that consumed them
+        nbits += 8;
+        ghost_bits += 8;
+        continue;
+      }
+      hold |= (uint64_t)(*in++) << nbits;
+      nbits += 8;
+    }
+  }
+
+  inline void refill_fast() {
+    if (end - in >= 8 && nbits < 56) {
+      uint64_t w;
+      memcpy(&w, in, 8);
+      hold |= w << nbits;
+      int take = (63 - nbits) >> 3;
+      in += take;
+      nbits += take << 3;
+    } else {
+      refill();
+    }
+  }
+
+  inline uint32_t peek(int n) const { return (uint32_t)hold & ((1u << n) - 1); }
+
+  inline void drop(int n) {
+    hold >>= n;
+    nbits -= n;
+  }
+
+  inline uint32_t get(int n) {
+    if (n == 0) return 0;
+    uint32_t v = peek(n);
+    drop(n);
+    return v;
+  }
+};
+
+inline int decode_sym(Bits& b, const Huff& h) {
+  uint16_t e = h.fast[b.peek(kTableBits)];
+  if (e) {
+    b.drop(e & 31);
+    return e >> 5;
+  }
+  // slow path: walk canonical codes MSB-first, bit by bit
+  uint32_t code = 0;
+  for (int l = 1; l <= h.max_len; l++) {
+    code = (code << 1) | (b.peek(1));
+    b.drop(1);
+    int idx = (int)code - (int)h.first[l];
+    if (idx >= 0 && idx < h.count[l]) return h.sorted[h.offset[l] + idx];
+  }
+  return -1;
+}
+
+const uint16_t kLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11,  13,
+                               15, 17, 19, 23, 27, 31, 35, 43, 51,  59,
+                               67, 83, 99, 115, 131, 163, 195, 227, 258};
+const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                               2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+const uint16_t kDistBase[30] = {1,    2,    3,    4,    5,    7,     9,    13,
+                                17,   25,   33,   49,   65,   97,    129,  193,
+                                257,  385,  513,  769,  1025, 1537,  2049, 3073,
+                                4097, 6145, 8193, 12289, 16385, 24577};
+const uint8_t kDistExtra[30] = {0, 0, 0,  0,  1,  1,  2,  2,  3,  3,
+                                4, 4, 5,  5,  6,  6,  7,  7,  8,  8,
+                                9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+const uint8_t kClOrder[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                              11, 4, 12, 3, 13, 2, 14, 1, 15};
+
+// thread-local so the decoder is reentrant across slab-decode threads
+thread_local Huff g_litlen, g_dist;
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success (exactly out_len bytes written), negative on error.
+int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
+                 int64_t out_len) {
+  Bits b{in, in + in_len};
+  uint8_t* const out_base = out;
+  uint8_t* const out_end = out + out_len;
+
+  for (;;) {
+    b.refill_fast();
+    uint32_t bfinal = b.get(1);
+    uint32_t btype = b.get(2);
+
+    if (btype == 0) {
+      // stored: byte-align, LEN/NLEN, raw copy — all through the bit reader
+      // so ghost-bit accounting stays uniform (consuming a ghost byte shows
+      // up at the final nbits >= ghost_bits check)
+      b.drop(b.nbits & 7);
+      b.refill();
+      uint32_t len = b.get(16);
+      uint32_t nlen = b.get(16);
+      if ((len ^ 0xffffu) != nlen) return -2;
+      if (out + len > out_end) return -3;
+      // drain whole bytes still held in the bit buffer (multiple of 8 bits
+      // after alignment), then bulk-copy the rest straight from the input
+      while (len && b.nbits >= 8) {
+        *out++ = (uint8_t)b.get(8);
+        len--;
+      }
+      if (len) {
+        if (b.in + len > b.end) return -3;
+        memcpy(out, b.in, len);
+        out += len;
+        b.in += len;
+      }
+    } else if (btype == 1 || btype == 2) {
+      if (btype == 1) {
+        // fixed trees
+        uint8_t ll[288], dl[30];
+        for (int i = 0; i < 144; i++) ll[i] = 8;
+        for (int i = 144; i < 256; i++) ll[i] = 9;
+        for (int i = 256; i < 280; i++) ll[i] = 7;
+        for (int i = 280; i < 288; i++) ll[i] = 8;
+        for (int i = 0; i < 30; i++) dl[i] = 5;
+        if (!g_litlen.build(ll, 288) || !g_dist.build(dl, 30)) return -4;
+      } else {
+        // dynamic trees
+        uint32_t hlit = b.get(5) + 257;
+        uint32_t hdist = b.get(5) + 1;
+        uint32_t hclen = b.get(4) + 4;
+        if (hlit > 286 || hdist > 30) return -5;
+        uint8_t cl_lens[19];
+        memset(cl_lens, 0, sizeof(cl_lens));
+        for (uint32_t i = 0; i < hclen; i++) {
+          b.refill_fast();
+          cl_lens[kClOrder[i]] = (uint8_t)b.get(3);
+        }
+        Huff cl;
+        if (!cl.build(cl_lens, 19)) return -6;
+        uint8_t lens[288 + 30];
+        uint32_t n = 0, total = hlit + hdist;
+        while (n < total) {
+          b.refill_fast();
+          int sym = decode_sym(b, cl);
+          if (sym < 0) return -7;
+          if (sym < 16) {
+            lens[n++] = (uint8_t)sym;
+          } else if (sym == 16) {
+            if (n == 0) return -8;
+            uint32_t rep = 3 + b.get(2);
+            if (n + rep > total) return -8;
+            uint8_t prev = lens[n - 1];
+            while (rep--) lens[n++] = prev;
+          } else if (sym == 17) {
+            uint32_t rep = 3 + b.get(3);
+            if (n + rep > total) return -9;
+            while (rep--) lens[n++] = 0;
+          } else {
+            uint32_t rep = 11 + b.get(7);
+            if (n + rep > total) return -10;
+            while (rep--) lens[n++] = 0;
+          }
+        }
+        if (lens[256] == 0) return -11;  // no EOB code
+        if (!g_litlen.build(lens, (int)hlit) ||
+            !g_dist.build(lens + hlit, (int)hdist))
+          return -12;
+      }
+
+      // decompress the block body
+      for (;;) {
+        b.refill_fast();  // >= 48 usable bits: litlen(15)+extra(5)+dist(15)+extra(13)
+        int sym = decode_sym(b, g_litlen);
+        if (sym < 0) return -13;
+        if (sym < 256) {
+          if (out >= out_end) return -14;
+          *out++ = (uint8_t)sym;
+          // fast literal run: decode up to 3 more literals from the same fill
+          while (b.nbits >= 20 && out < out_end) {
+            uint16_t e = g_litlen.fast[b.peek(kTableBits)];
+            if (!e || (e >> 5) >= 256) break;
+            b.drop(e & 31);
+            *out++ = (uint8_t)(e >> 5);
+          }
+          continue;
+        }
+        if (sym == 256) break;  // end of block
+        sym -= 257;
+        if (sym >= 29) return -15;
+        uint32_t len = kLenBase[sym] + b.get(kLenExtra[sym]);
+        int dsym = decode_sym(b, g_dist);
+        if (dsym < 0 || dsym >= 30) return -16;
+        uint32_t dist = kDistBase[dsym] + b.get(kDistExtra[dsym]);
+        if ((int64_t)dist > out - out_base) return -17;
+        if (out + len > out_end) return -18;
+        const uint8_t* src = out - dist;
+        if (dist == 1) {
+          memset(out, *src, len);
+          out += len;
+        } else if (dist >= 8) {
+          // 8-byte word copy; caller guarantees 8 bytes of output slack, and
+          // src trails dst by >= 8 so words never overlap
+          uint8_t* dst = out;
+          out += len;
+          while (len >= 8) {
+            memcpy(dst, src, 8);
+            dst += 8;
+            src += 8;
+            len -= 8;
+          }
+          if (len) memcpy(dst, src, len);
+        } else {
+          // 2 <= dist < 8: seed one period then double the copied region
+          memcpy(out, src, dist);
+          uint32_t copied = dist;
+          while (copied < len) {
+            uint32_t chunk = copied < len - copied ? copied : len - copied;
+            memcpy(out + copied, out, chunk);
+            copied += chunk;
+          }
+          out += len;
+        }
+      }
+    } else {
+      return -19;  // reserved block type
+    }
+
+    if (bfinal) break;
+  }
+  // every consumed bit must have been real: unconsumed >= ghost
+  if (b.nbits < b.ghost_bits) return -20;
+  if (out != out_end) return -21;      // ISIZE mismatch
+  return 0;
+}
+
+}  // extern "C"

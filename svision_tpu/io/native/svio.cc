@@ -18,6 +18,10 @@
 #include <vector>
 #include <zlib.h>
 
+// fast raw-DEFLATE decoder (inflate.cc); zlib is the fallback on any error
+extern "C" int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
+                            int64_t out_len);
+
 namespace {
 
 struct BgzfCursor {
@@ -25,6 +29,7 @@ struct BgzfCursor {
   int64_t block_coffset = -1;   // compressed offset of loaded block
   int64_t next_coffset = 0;     // compressed offset of the block after it
   std::vector<uint8_t> block;   // inflated payload
+  std::vector<uint8_t> cdata;   // compressed payload (reused across blocks)
   size_t within = 0;            // cursor inside block
 
   bool load_block(int64_t coffset) {
@@ -46,15 +51,20 @@ struct BgzfCursor {
     }
     if (bsize < 0) return false;
     int cdata_len = bsize - 12 - xlen - 8;
-    std::vector<uint8_t> cdata(cdata_len);
+    // 8 bytes of zeroed slack past the payload: the fast decoder's bit
+    // buffer and word-copy are allowed to touch (not consume) them
+    cdata.assign(cdata_len + 8, 0);
     if (fread(cdata.data(), 1, cdata_len, fp) != (size_t)cdata_len) return false;
     uint8_t tail[8];
     if (fread(tail, 1, 8, fp) != 8) return false;
     uint32_t isize;
     memcpy(&isize, tail + 4, 4);
 
-    block.resize(isize);
-    if (isize > 0) {
+    block.resize(isize + 8);  // 8 bytes of output slack (see inflate.cc)
+    if (isize > 0 &&
+        svio_inflate(cdata.data(), cdata_len, block.data(), isize) != 0) {
+      // fall back to zlib: a fast-path decode error degrades to the old
+      // speed, never to wrong bytes
       z_stream zs;
       memset(&zs, 0, sizeof(zs));
       if (inflateInit2(&zs, -15) != Z_OK) return false;
@@ -66,6 +76,7 @@ struct BgzfCursor {
       inflateEnd(&zs);
       if (rc != Z_STREAM_END) return false;
     }
+    block.resize(isize);
     block_coffset = coffset;
     next_coffset = coffset + bsize;
     within = 0;
@@ -279,9 +290,17 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
       if (cur.read(szb, 4) != 4) break;
       int32_t size = rd_i32(szb);
       if (size <= 0 || size > (1 << 28)) break;
-      rec.resize(size);
-      if (cur.read(rec.data(), size) != (size_t)size) break;
-      int rc = parse_record(rec.data(), size, tid, start, end,
+      const uint8_t* payload;
+      if (cur.block.size() - cur.within >= (size_t)size) {
+        // record fully inside the loaded block: parse in place, no copy
+        payload = cur.block.data() + cur.within;
+        cur.within += size;
+      } else {
+        rec.resize(size);
+        if (cur.read(rec.data(), size) != (size_t)size) break;
+        payload = rec.data();
+      }
+      int rc = parse_record(payload, size, tid, start, end,
                             count_only != 0, decode_seq, &res->batch);
       if (rc == 1) res->count++;
       else if (rc == 2) break;  // sorted: past the region
