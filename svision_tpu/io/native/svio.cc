@@ -15,6 +15,13 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <condition_variable>
+#include <deque>
+#include <functional>
+#include <future>
+#include <memory>
+#include <mutex>
+#include <thread>
 #include <vector>
 #include <zlib.h>
 
@@ -24,6 +31,58 @@ extern "C" int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
 
 namespace {
 
+// Tiny worker pool for block-parallel inflate (one pool per fetch call).
+// Queued tasks still run after stop is requested; the destructor drains.
+class InflatePool {
+ public:
+  explicit InflatePool(int n) {
+    for (int i = 0; i < n; i++) workers_.emplace_back([this] { loop(); });
+  }
+  ~InflatePool() {
+    {
+      std::lock_guard<std::mutex> l(m_);
+      stop_ = true;
+    }
+    cv_.notify_all();
+    for (auto& t : workers_) t.join();
+  }
+  void submit(std::function<void()> f) {
+    {
+      std::lock_guard<std::mutex> l(m_);
+      q_.push_back(std::move(f));
+    }
+    cv_.notify_one();
+  }
+
+ private:
+  void loop() {
+    for (;;) {
+      std::function<void()> f;
+      {
+        std::unique_lock<std::mutex> l(m_);
+        cv_.wait(l, [this] { return stop_ || !q_.empty(); });
+        if (q_.empty()) return;  // stop requested and drained
+        f = std::move(q_.front());
+        q_.pop_front();
+      }
+      f();
+    }
+  }
+  std::vector<std::thread> workers_;
+  std::deque<std::function<void()>> q_;
+  std::mutex m_;
+  std::condition_variable cv_;
+  bool stop_ = false;
+};
+
+// One BGZF block staged for (or finished with) background inflate.
+struct PrefetchItem {
+  int64_t coffset = -1;
+  int64_t next_coffset = -1;
+  std::shared_ptr<std::vector<uint8_t>> payload;  // inflated, sized isize
+  std::future<bool> ready;                        // false = decode failed
+};
+
 struct BgzfCursor {
   FILE* fp = nullptr;
   int64_t block_coffset = -1;   // compressed offset of loaded block
@@ -32,7 +91,125 @@ struct BgzfCursor {
   std::vector<uint8_t> cdata;   // compressed payload (reused across blocks)
   size_t within = 0;            // cursor inside block
 
+  // block-parallel prefetch (nullptr pool = serial mode). The reader
+  // thread stages compressed blocks sequentially into `ring`; pool workers
+  // inflate them; load_block consumes in order. All stream/record logic
+  // (read, tell_virtual, region bounds) is shared with serial mode, so the
+  // two paths are behavior-identical by construction.
+  InflatePool* pool = nullptr;
+  int lookahead = 0;
+  std::deque<PrefetchItem> ring;
+  int64_t stage_coffset = -1;
+  bool stage_eof = false;
+
   bool load_block(int64_t coffset) {
+    if (pool) return load_block_mt(coffset);
+    return load_block_serial(coffset);
+  }
+
+  // EOF signal for read(): in prefetch mode fp has raced ahead of the
+  // parse position, so feof(fp) is meaningless there — termination comes
+  // from load_block_mt failing once staging is exhausted.
+  bool stream_eof() const { return pool ? false : feof(fp) != 0; }
+
+  // Read one block's header + compressed payload at `coffset` and hand the
+  // inflate to the pool. Returns false at EOF/corrupt header.
+  bool stage_one() {
+    if (stage_eof) return false;
+    if (fseeko(fp, stage_coffset, SEEK_SET) != 0) {
+      stage_eof = true;
+      return false;
+    }
+    uint8_t hdr[12];
+    if (fread(hdr, 1, 12, fp) != 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) {
+      stage_eof = true;
+      return false;
+    }
+    uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
+    std::vector<uint8_t> extra(xlen);
+    if (fread(extra.data(), 1, xlen, fp) != xlen) {
+      stage_eof = true;
+      return false;
+    }
+    int bsize = -1;
+    for (size_t p = 0; p + 4 <= extra.size();) {
+      uint16_t slen = (uint16_t)(extra[p + 2] | (extra[p + 3] << 8));
+      if (extra[p] == 'B' && extra[p + 1] == 'C' && slen == 2)
+        bsize = (extra[p + 4] | (extra[p + 5] << 8)) + 1;
+      p += 4 + slen;
+    }
+    if (bsize < 0) {
+      stage_eof = true;
+      return false;
+    }
+    int cdata_len = bsize - 12 - xlen - 8;
+    auto comp = std::make_shared<std::vector<uint8_t>>(cdata_len + 8, 0);
+    if (fread(comp->data(), 1, cdata_len, fp) != (size_t)cdata_len) {
+      stage_eof = true;
+      return false;
+    }
+    uint8_t tail[8];
+    if (fread(tail, 1, 8, fp) != 8) {
+      stage_eof = true;
+      return false;
+    }
+    uint32_t isize;
+    memcpy(&isize, tail + 4, 4);
+
+    PrefetchItem item;
+    item.coffset = stage_coffset;
+    item.next_coffset = stage_coffset + bsize;
+    item.payload = std::make_shared<std::vector<uint8_t>>();
+    auto payload = item.payload;
+    auto task = std::make_shared<std::packaged_task<bool()>>(
+        [comp, payload, cdata_len, isize]() -> bool {
+          payload->resize(isize + 8);
+          if (isize > 0 && svio_inflate(comp->data(), cdata_len,
+                                        payload->data(), isize) != 0) {
+            z_stream zs;
+            memset(&zs, 0, sizeof(zs));
+            if (inflateInit2(&zs, -15) != Z_OK) return false;
+            zs.next_in = comp->data();
+            zs.avail_in = cdata_len;
+            zs.next_out = payload->data();
+            zs.avail_out = isize;
+            int rc = inflate(&zs, Z_FINISH);
+            inflateEnd(&zs);
+            if (rc != Z_STREAM_END) return false;
+          }
+          payload->resize(isize);
+          return true;
+        });
+    item.ready = task->get_future();
+    pool->submit([task] { (*task)(); });
+    stage_coffset = item.next_coffset;
+    ring.push_back(std::move(item));
+    return true;
+  }
+
+  bool load_block_mt(int64_t coffset) {
+    if (coffset == block_coffset) return true;
+    // drop staged blocks before the target (chunk lists can skip forward)
+    while (!ring.empty() && ring.front().coffset < coffset) ring.pop_front();
+    if (ring.empty() || ring.front().coffset != coffset) {
+      ring.clear();
+      stage_eof = false;
+      stage_coffset = coffset;
+    }
+    while ((int)ring.size() < lookahead && stage_one()) {
+    }
+    if (ring.empty() || ring.front().coffset != coffset) return false;
+    PrefetchItem item = std::move(ring.front());
+    ring.pop_front();
+    if (!item.ready.get()) return false;
+    block = std::move(*item.payload);
+    block_coffset = coffset;
+    next_coffset = item.next_coffset;
+    within = 0;
+    return true;
+  }
+
+  bool load_block_serial(int64_t coffset) {
     if (coffset == block_coffset) return true;
     if (fseeko(fp, coffset, SEEK_SET) != 0) return false;
     uint8_t hdr[12];
@@ -102,7 +279,7 @@ struct BgzfCursor {
       if (avail == 0) {
         if (!load_block(next_coffset)) break;
         if (block.empty()) {
-          if (feof(fp)) break;
+          if (stream_eof()) break;
           continue;  // empty block mid-file
         }
         avail = block.size();
@@ -274,11 +451,17 @@ struct SvioResult {
 SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
                        const uint64_t* chunk_end, int n_chunks,
                        uint64_t voffset0, int tid, int64_t start, int64_t end,
-                       int count_only, int decode_seq) {
+                       int count_only, int decode_seq, int n_threads) {
   FILE* fp = fopen(bam_path, "rb");
   if (!fp) return nullptr;
   BgzfCursor cur;
   cur.fp = fp;
+  std::unique_ptr<InflatePool> pool;
+  if (n_threads > 1) {
+    pool.reset(new InflatePool(n_threads));
+    cur.pool = pool.get();
+    cur.lookahead = 2 * n_threads + 2;
+  }
   SvioResult* res = new SvioResult();
   std::vector<uint8_t> rec;
 

@@ -48,7 +48,7 @@ def _load():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_uint64,
         ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.c_int]
     lib.svio_result_count.restype = ctypes.c_int64
     lib.svio_result_count.argtypes = [ctypes.c_void_p]
     for name, ctype in [
@@ -79,6 +79,21 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def decode_threads() -> int:
+    """Inflate worker threads per fetch. SVIO_THREADS overrides; the default
+    leaves cores for the window-level process pool: serial on <=2-core
+    hosts (block-parallel inflate would only contend with the collection
+    workers there), up to 4 workers on bigger machines."""
+    env = os.environ.get("SVIO_THREADS")
+    if env is not None:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            return 1
+    n = os.cpu_count() or 1
+    return 1 if n <= 2 else min(4, n // 2)
 
 
 # BAM 4-bit base codes -> ASCII (SAM spec "=ACMGRSVTWYHKDBN")
@@ -151,7 +166,8 @@ def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
     beg = (ctypes.c_uint64 * n)(*[c[0] for c in chunks]) if n else None
     endv = (ctypes.c_uint64 * n)(*[c[1] for c in chunks]) if n else None
     res = lib.svio_fetch(bam_path.encode(), beg, endv, n, voffset0, tid,
-                         start, end, int(count_only), seq_mode)
+                         start, end, int(count_only), seq_mode,
+                         decode_threads())
     if not res:
         raise OSError(f"svio_fetch failed for {bam_path}")
     try:

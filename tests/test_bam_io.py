@@ -161,3 +161,50 @@ def test_native_no_index_scan(tmp_path):
     want = sorted(r.qname for r in recs
                   if r.pos < 300000 and r.end_pos() > 100000)
     assert got == want
+
+
+def test_native_mt_decode_matches_serial(tmp_path, monkeypatch):
+    """Block-parallel inflate (SVIO_THREADS>1) must be byte-identical to
+    serial decode: indexed fetch, multi-chunk regions, records spanning BGZF
+    block boundaries (long seqs), count_only, and the no-index full scan."""
+    from svision_tpu.io import native_io
+    if not native_io.ensure_built():
+        pytest.skip("native toolchain unavailable")
+    rng = random.Random(9)
+    recs = _mk_reads(rng, 200)
+    # records larger than one 64K BGZF block payload -> span blocks
+    for i in range(6):
+        m = 70000 + i * 9000
+        seq = "".join(rng.choice("ACGT") for _ in range(m))
+        recs.append(SamRecord(f"big{i}", 0, "chr1", 1000 + i * 140000, 60,
+                              f"{m}M", seq))
+    p = str(tmp_path / "mt.bam")
+    write_bam(p, [("chr1", 1000000)], recs)
+    p2 = str(tmp_path / "mtni.bam")
+    write_bam(p2, [("chr1", 1000000)], recs, write_index=False)
+
+    def snap(b):
+        return (b.n, b.pos.tobytes(), b.endpos.tobytes(), b.flag.tobytes(),
+                b.mapq.tobytes(), bytes(b.qname_buf), b.cigar_buf.tobytes(),
+                b.qname_off.tobytes(), b.cigar_off.tobytes(),
+                bytes(b.seq_buf), b.seq_off.tobytes())
+
+    regions = [(0, 1000000), (0, 1), (999999, 1000000)]
+    for _ in range(12):
+        s = rng.randrange(0, 990000)
+        regions.append((s, s + rng.randrange(50, 80000)))
+
+    outs = {}
+    for nt in ("1", "3"):
+        monkeypatch.setenv("SVIO_THREADS", nt)
+        bam = BamReader(p)
+        rows = []
+        for s, e in regions:
+            rows.append(snap(bam.fetch_batch("chr1", s, e)))
+            rows.append(bam.count_overlapping("chr1", s, e))
+        bam2 = BamReader(p2)   # no-index full-scan path
+        rows.append(snap(bam2.fetch_batch("chr1", 100000, 700000)))
+        outs[nt] = rows
+        bam.close()
+        bam2.close()
+    assert outs["1"] == outs["3"]
