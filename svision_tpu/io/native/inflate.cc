@@ -6,11 +6,16 @@
 // are <= 64 KiB — to skip all streaming/allocation machinery:
 //
 //   * 64-bit bit buffer refilled 8 bytes at a time (caller pads input by 8)
-//   * one-level 10-bit Huffman fast table; rare longer codes take a
-//     canonical bit-by-bit slow path (no subtables to build per block)
+//   * one-level 10-bit Huffman table with libdeflate-style packed entries:
+//     a literal entry carries the decoded byte, a length/distance entry
+//     carries (base value, extra-bit count), so the hot loop consumes the
+//     code bits AND its extra bits with one table lookup + one shift — no
+//     per-symbol base/extra array walks. Rare >10-bit codes take a
+//     canonical bit-by-bit slow path (no subtables built per block)
 //   * match copy specialized for the patterns BAM payloads produce:
-//     dist==1 -> memset (quality-score runs), dist>=8 -> 8-byte word copy,
-//     else pattern doubling
+//     dist==1 -> memset (quality-score runs), dist>=8 -> unconditional
+//     8-byte word copies that overshoot into the caller's 8-byte output
+//     slack (no tail loop), else pattern doubling
 //
 // The caller (svio.cc BgzfCursor) verifies the gzip ISIZE matches and falls
 // back to zlib on any error return, so a decode bug degrades to the old
@@ -18,7 +23,7 @@
 // compression levels and payload shapes in tests/test_fast_inflate.py.
 //
 // C ABI: svio_inflate(in, in_len, out, out_len) -> 0 ok / <0 error.
-// `in` MUST have 8 readable bytes of slack past in_len; `out` MUST have 8
+// `in` MUST have 8 readable bytes of slack past in_len; `out` MUST have 16
 // writable bytes of slack past out_len (both arranged by the caller).
 
 #include <cstdint>
@@ -29,10 +34,37 @@ namespace {
 constexpr int kTableBits = 10;
 constexpr int kTableSize = 1 << kTableBits;
 
+// Packed fast-table entry (32-bit):
+//   bits  0..4   code length in bits (0 only in an all-zero "slow" entry)
+//   bits  8..12  extra-bit count (length/distance alphabets)
+//   bits 16..31  payload: literal byte / symbol id / length base / dist base
+//   bit  31      F_LIT  (literal or plain-symbol entry; payload = symbol)
+//   bit  30      F_EOB  (end-of-block symbol)
+// Distance-alphabet entries use no flag bits (base <= 24577 fits bits 16..30
+// and code length >= 1 keeps valid entries nonzero).
+constexpr uint32_t F_LIT = 1u << 31;
+constexpr uint32_t F_EOB = 1u << 30;
+
+enum Alphabet { ALPHA_SYMS, ALPHA_LITLEN, ALPHA_DIST };
+
+const uint16_t kLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11,  13,
+                               15, 17, 19, 23, 27, 31, 35, 43, 51,  59,
+                               67, 83, 99, 115, 131, 163, 195, 227, 258};
+const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+                               2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+const uint16_t kDistBase[30] = {1,    2,    3,    4,    5,    7,     9,    13,
+                                17,   25,   33,   49,   65,   97,    129,  193,
+                                257,  385,  513,  769,  1025, 1537,  2049, 3073,
+                                4097, 6145, 8193, 12289, 16385, 24577};
+const uint8_t kDistExtra[30] = {0, 0, 0,  0,  1,  1,  2,  2,  3,  3,
+                                4, 4, 5,  5,  6,  6,  7,  7,  8,  8,
+                                9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+const uint8_t kClOrder[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                              11, 4, 12, 3, 13, 2, 14, 1, 15};
+
 // Canonical-Huffman decoder state for one alphabet.
 struct Huff {
-  // fast[idx] = (symbol << 5) | code_len; code_len==0 -> use slow path
-  uint16_t fast[kTableSize];
+  uint32_t fast[kTableSize];  // packed entries; 0 -> slow path
   // canonical slow-path tables
   uint16_t count[16];    // number of codes of each length
   uint16_t first[16];    // first canonical code of each length (MSB-first)
@@ -40,30 +72,42 @@ struct Huff {
   uint16_t sorted[288];  // symbols ordered by (code length, symbol)
   int max_len;
 
+  static uint32_t pack(Alphabet a, uint32_t sym, uint32_t l) {
+    switch (a) {
+      case ALPHA_LITLEN:
+        if (sym < 256) return (sym << 16) | F_LIT | l;
+        if (sym == 256) return F_EOB | l;
+        if (sym - 257 >= 29) return 0;  // invalid litlen symbol -> slow/error
+        return ((uint32_t)kLenBase[sym - 257] << 16) |
+               ((uint32_t)kLenExtra[sym - 257] << 8) | l;
+      case ALPHA_DIST:
+        if (sym >= 30) return 0;
+        return ((uint32_t)kDistBase[sym] << 16) |
+               ((uint32_t)kDistExtra[sym] << 8) | l;
+      default:
+        return (sym << 16) | F_LIT | l;
+    }
+  }
+
   // lens[i] = code length of symbol i (0 = unused). Returns false on an
-  // over-/under-subscribed code (corrupt stream), except the degenerate
-  // one-code case which DEFLATE permits for the distance tree.
-  bool build(const uint8_t* lens, int n) {
+  // over-subscribed code (corrupt stream); incomplete codes are permitted
+  // (DEFLATE's fixed distance tree covers 30 of 32 slots).
+  bool build(const uint8_t* lens, int n, Alphabet alpha) {
     memset(count, 0, sizeof(count));
     for (int i = 0; i < n; i++) count[lens[i]]++;
     count[0] = 0;
-    int total = 0;
     max_len = 0;
-    for (int l = 1; l <= 15; l++) {
+    for (int l = 1; l <= 15; l++)
       if (count[l]) max_len = l;
-      total += count[l];
-    }
-    // Kraft check: reject over-subscribed codes. Incomplete codes are
-    // permitted (DEFLATE's fixed distance tree covers 30 of 32 slots); the
-    // unused code space simply has no fast-table entry and no canonical
-    // match, so a stream that references it fails at decode_sym.
+    // Kraft check: reject over-subscribed codes. Incomplete codes have no
+    // fast-table entry and no canonical match, so a stream referencing the
+    // unused code space fails at decode time.
     int left = 1;
     for (int l = 1; l <= 15; l++) {
       left <<= 1;
       left -= count[l];
       if (left < 0) return false;  // over-subscribed
     }
-    (void)total;
     uint16_t code = 0;
     int off = 0;
     for (int l = 1; l <= 15; l++) {
@@ -87,7 +131,7 @@ struct Huff {
         // bit-reverse c over l bits
         uint32_t rev = 0;
         for (int b = 0; b < l; b++) rev |= ((c >> b) & 1u) << (l - 1 - b);
-        uint16_t entry = (uint16_t)((sym << 5) | l);
+        uint32_t entry = pack(alpha, sym, (uint32_t)l);
         for (uint32_t idx = rev; idx < kTableSize; idx += (1u << l))
           fast[idx] = entry;
       }
@@ -144,13 +188,8 @@ struct Bits {
   }
 };
 
-inline int decode_sym(Bits& b, const Huff& h) {
-  uint16_t e = h.fast[b.peek(kTableBits)];
-  if (e) {
-    b.drop(e & 31);
-    return e >> 5;
-  }
-  // slow path: walk canonical codes MSB-first, bit by bit
+// Slow path: walk canonical codes MSB-first, bit by bit (codes > kTableBits).
+int decode_sym_slow(Bits& b, const Huff& h) {
   uint32_t code = 0;
   for (int l = 1; l <= h.max_len; l++) {
     code = (code << 1) | (b.peek(1));
@@ -161,20 +200,14 @@ inline int decode_sym(Bits& b, const Huff& h) {
   return -1;
 }
 
-const uint16_t kLenBase[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11,  13,
-                               15, 17, 19, 23, 27, 31, 35, 43, 51,  59,
-                               67, 83, 99, 115, 131, 163, 195, 227, 258};
-const uint8_t kLenExtra[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
-                               2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
-const uint16_t kDistBase[30] = {1,    2,    3,    4,    5,    7,     9,    13,
-                                17,   25,   33,   49,   65,   97,    129,  193,
-                                257,  385,  513,  769,  1025, 1537,  2049, 3073,
-                                4097, 6145, 8193, 12289, 16385, 24577};
-const uint8_t kDistExtra[30] = {0, 0, 0,  0,  1,  1,  2,  2,  3,  3,
-                                4, 4, 5,  5,  6,  6,  7,  7,  8,  8,
-                                9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
-const uint8_t kClOrder[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
-                              11, 4, 12, 3, 13, 2, 14, 1, 15};
+inline int decode_sym(Bits& b, const Huff& h) {
+  uint32_t e = h.fast[b.peek(kTableBits)];
+  if (e) {
+    b.drop(e & 31);
+    return (int)((e >> 16) & 0x3fff);  // strip F_LIT/F_EOB flag bits
+  }
+  return decode_sym_slow(b, h);
+}
 
 // thread-local so the decoder is reentrant across slab-decode threads
 thread_local Huff g_litlen, g_dist;
@@ -226,7 +259,9 @@ int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
         for (int i = 256; i < 280; i++) ll[i] = 7;
         for (int i = 280; i < 288; i++) ll[i] = 8;
         for (int i = 0; i < 30; i++) dl[i] = 5;
-        if (!g_litlen.build(ll, 288) || !g_dist.build(dl, 30)) return -4;
+        if (!g_litlen.build(ll, 288, ALPHA_LITLEN) ||
+            !g_dist.build(dl, 30, ALPHA_DIST))
+          return -4;
       } else {
         // dynamic trees
         uint32_t hlit = b.get(5) + 257;
@@ -240,7 +275,7 @@ int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
           cl_lens[kClOrder[i]] = (uint8_t)b.get(3);
         }
         Huff cl;
-        if (!cl.build(cl_lens, 19)) return -6;
+        if (!cl.build(cl_lens, 19, ALPHA_SYMS)) return -6;
         uint8_t lens[288 + 30];
         uint32_t n = 0, total = hlit + hdist;
         while (n < total) {
@@ -266,53 +301,104 @@ int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
           }
         }
         if (lens[256] == 0) return -11;  // no EOB code
-        if (!g_litlen.build(lens, (int)hlit) ||
-            !g_dist.build(lens + hlit, (int)hdist))
+        if (!g_litlen.build(lens, (int)hlit, ALPHA_LITLEN) ||
+            !g_dist.build(lens + hlit, (int)hdist, ALPHA_DIST))
           return -12;
       }
 
       // decompress the block body
       for (;;) {
-        b.refill_fast();  // >= 48 usable bits: litlen(15)+extra(5)+dist(15)+extra(13)
-        int sym = decode_sym(b, g_litlen);
-        if (sym < 0) return -13;
-        if (sym < 256) {
+        // one iteration consumes at most 48 bits (length code <=15 + extra
+        // <=5 + distance code <=15 + extra <=13), so skip the refill while
+        // that much is still buffered — on match-heavy BAM payloads (~25
+        // bits/match) this halves the refill count
+        if (b.nbits < 48) b.refill_fast();
+        uint32_t e = g_litlen.fast[b.peek(kTableBits)];
+        uint32_t len;
+        if (e & F_LIT) {
           if (out >= out_end) return -14;
-          *out++ = (uint8_t)sym;
-          // fast literal run: decode up to 3 more literals from the same fill
-          while (b.nbits >= 20 && out < out_end) {
-            uint16_t e = g_litlen.fast[b.peek(kTableBits)];
-            if (!e || (e >> 5) >= 256) break;
+          b.drop(e & 31);
+          *out++ = (uint8_t)(e >> 16);
+          // literal run: keep decoding literals from the same refill
+          while (b.nbits >= kTableBits && out < out_end) {
+            e = g_litlen.fast[b.peek(kTableBits)];
+            if (!(e & F_LIT)) break;
             b.drop(e & 31);
-            *out++ = (uint8_t)(e >> 5);
+            *out++ = (uint8_t)(e >> 16);
           }
           continue;
         }
-        if (sym == 256) break;  // end of block
-        sym -= 257;
-        if (sym >= 29) return -15;
-        uint32_t len = kLenBase[sym] + b.get(kLenExtra[sym]);
-        int dsym = decode_sym(b, g_dist);
-        if (dsym < 0 || dsym >= 30) return -16;
-        uint32_t dist = kDistBase[dsym] + b.get(kDistExtra[dsym]);
+        if (e == 0) {
+          // >kTableBits code: canonical decode, then classic length fetch
+          int sym = decode_sym_slow(b, g_litlen);
+          if (sym < 0) return -13;
+          if (sym < 256) {
+            if (out >= out_end) return -14;
+            *out++ = (uint8_t)sym;
+            continue;
+          }
+          if (sym == 256) break;
+          sym -= 257;
+          if (sym >= 29) return -15;
+          len = kLenBase[sym] + b.get(kLenExtra[sym]);
+        } else if (e & F_EOB) {
+          b.drop(e & 31);
+          break;
+        } else {
+          // length entry: consume code bits + extra bits in one drop
+          uint32_t cl = e & 31, eb = (e >> 8) & 31;
+          len = (e >> 16) + ((uint32_t)(b.hold >> cl) & ((1u << eb) - 1));
+          b.drop((int)(cl + eb));
+        }
+
+        uint32_t dist;
+        uint32_t d = g_dist.fast[b.peek(kTableBits)];
+        if (d) {
+          uint32_t cl = d & 31, eb = (d >> 8) & 31;
+          dist = (d >> 16) + ((uint32_t)(b.hold >> cl) & ((1u << eb) - 1));
+          b.drop((int)(cl + eb));
+        } else {
+          int dsym = decode_sym_slow(b, g_dist);
+          if (dsym < 0 || dsym >= 30) return -16;
+          dist = kDistBase[dsym] + b.get(kDistExtra[dsym]);
+        }
         if ((int64_t)dist > out - out_base) return -17;
         if (out + len > out_end) return -18;
         const uint8_t* src = out - dist;
         if (dist == 1) {
           memset(out, *src, len);
           out += len;
-        } else if (dist >= 8) {
-          // 8-byte word copy; caller guarantees 8 bytes of output slack, and
-          // src trails dst by >= 8 so words never overlap
+        } else if (dist >= 16) {
+          // unconditional 16-byte copies, overshooting by up to 15 bytes
+          // into bytes the next iteration will overwrite (or, at stream end,
+          // into the caller's 16-byte output slack); src trails dst by >= 16
+          // so chunks never overlap
           uint8_t* dst = out;
           out += len;
-          while (len >= 8) {
-            memcpy(dst, src, 8);
-            dst += 8;
-            src += 8;
-            len -= 8;
+          memcpy(dst, src, 16);
+          if (len > 16) {
+            int64_t left = (int64_t)len - 16;
+            do {
+              dst += 16;
+              src += 16;
+              memcpy(dst, src, 16);
+              left -= 16;
+            } while (left > 0);
           }
-          if (len) memcpy(dst, src, len);
+        } else if (dist >= 8) {
+          // 8-byte word copies, overshoot <= 7 bytes; chunks never overlap
+          uint8_t* dst = out;
+          out += len;
+          memcpy(dst, src, 8);
+          if (len > 8) {
+            int64_t left = (int64_t)len - 8;
+            do {
+              dst += 8;
+              src += 8;
+              memcpy(dst, src, 8);
+              left -= 8;
+            } while (left > 0);
+          }
         } else {
           // 2 <= dist < 8: seed one period then double the copied region
           memcpy(out, src, dist);

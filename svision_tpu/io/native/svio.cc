@@ -163,7 +163,7 @@ struct BgzfCursor {
     auto payload = item.payload;
     auto task = std::make_shared<std::packaged_task<bool()>>(
         [comp, payload, cdata_len, isize]() -> bool {
-          payload->resize(isize + 8);
+          payload->resize(isize + 16);
           if (isize > 0 && svio_inflate(comp->data(), cdata_len,
                                         payload->data(), isize) != 0) {
             z_stream zs;
@@ -237,7 +237,7 @@ struct BgzfCursor {
     uint32_t isize;
     memcpy(&isize, tail + 4, 4);
 
-    block.resize(isize + 8);  // 8 bytes of output slack (see inflate.cc)
+    block.resize(isize + 16);  // 16 bytes of output slack (see inflate.cc)
     if (isize > 0 &&
         svio_inflate(cdata.data(), cdata_len, block.data(), isize) != 0) {
       // fall back to zlib: a fast-path decode error degrades to the old
@@ -464,6 +464,26 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
   }
   SvioResult* res = new SvioResult();
   std::vector<uint8_t> rec;
+
+  if (!count_only) {
+    // Reserve output buffers from the compressed span (BAM inflates ~4-15x;
+    // modest under-reserve just means one or two doublings instead of ~20,
+    // which removes most reallocation memcpy traffic from the scan).
+    int64_t comp = 0;
+    if (n_chunks > 0) {
+      for (int c = 0; c < n_chunks; c++)
+        comp += (int64_t)((chunk_end[c] >> 16) - (chunk_beg[c] >> 16)) + 65536;
+    } else {
+      if (fseeko(fp, 0, SEEK_END) == 0) comp = ftello(fp);
+      fseeko(fp, 0, SEEK_SET);
+    }
+    if (comp > 0) {
+      int64_t cap = comp < (int64_t)1 << 30 ? comp : (int64_t)1 << 30;
+      res->batch.cigar_buf.reserve((size_t)(cap / 8));
+      if (decode_seq == 2) res->batch.seq_buf.reserve((size_t)(cap * 4));
+      else if (decode_seq == 1) res->batch.seq_buf.reserve((size_t)(cap * 8));
+    }
+  }
 
   auto scan_range = [&](uint64_t vbeg, uint64_t vend_limit, bool bounded) {
     if (!cur.seek_virtual(vbeg)) return;

@@ -100,12 +100,29 @@ def decode_threads() -> int:
 _NT16 = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8)
 
 
+class _ResultHandle:
+    """Owns a SvioResult*: keeps the C++ buffers alive for the numpy views
+    wrapping them and frees exactly once."""
+
+    __slots__ = ("_lib", "_ptr")
+
+    def __init__(self, lib, ptr):
+        self._lib = lib
+        self._ptr = ptr
+
+    def __del__(self):
+        if self._ptr:
+            self._lib.svio_result_free(self._ptr)
+            self._ptr = None
+
+
 class NativeBatch:
-    """Python-owned copies of one fetch's structure-of-arrays."""
+    """One fetch's structure-of-arrays: numpy views over the native result
+    buffers (zero-copy; `_res` pins their lifetime)."""
 
     __slots__ = ("n", "refid", "pos", "endpos", "flag", "mapq",
                  "qname_off", "qname_buf", "cigar_off", "cigar_buf",
-                 "seq_off", "seq_buf", "seq_len", "packed")
+                 "seq_off", "seq_buf", "seq_len", "packed", "_res")
 
     def qname(self, i: int) -> str:
         return self.qname_buf[self.qname_off[i]:self.qname_off[i + 1]].decode()
@@ -118,7 +135,10 @@ class NativeBatch:
         if hi == lo:
             return None
         if not getattr(self, "packed", False):
-            return self.seq_buf[lo:hi].decode()
+            chunk = self.seq_buf[lo:hi]
+            if isinstance(chunk, np.ndarray):
+                return chunk.tobytes().decode()
+            return chunk.decode()
         # packed mode: raw nibble pairs, decoded here only for records the
         # prefilter kept — the C++ scan never pays the expand loop
         pk = np.frombuffer(self.seq_buf, np.uint8, count=hi - lo, offset=lo)
@@ -170,36 +190,41 @@ def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
                          decode_threads())
     if not res:
         raise OSError(f"svio_fetch failed for {bam_path}")
-    try:
-        count = lib.svio_result_count(res)
-        if count_only:
-            return int(count)
-        b = NativeBatch()
-        b.n = int(count)
-        def arr(fn, length, dtype):
-            if length == 0:
-                return np.zeros(0, dtype)
-            ptr = fn(res)
-            return np.ctypeslib.as_array(
-                ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
-                shape=(length * np.dtype(dtype).itemsize,)).view(dtype).copy()
-        b.refid = arr(lib.svio_refid, b.n, np.int32)
-        b.pos = arr(lib.svio_pos, b.n, np.int32)
-        b.endpos = arr(lib.svio_endpos, b.n, np.int32)
-        b.flag = arr(lib.svio_flag, b.n, np.uint16)
-        b.mapq = arr(lib.svio_mapq, b.n, np.uint8)
-        b.qname_off = arr(lib.svio_qname_off, b.n + 1, np.int64)
-        b.cigar_off = arr(lib.svio_cigar_off, b.n + 1, np.int64)
-        b.seq_off = arr(lib.svio_seq_off, b.n + 1, np.int64)
-        qlen = lib.svio_qname_buf_len(res)
-        b.qname_buf = ctypes.string_at(lib.svio_qname_buf(res), qlen) if qlen else b""
-        clen = lib.svio_cigar_buf_len(res)
-        b.cigar_buf = arr(lib.svio_cigar_buf, int(clen), np.uint32) if clen else np.zeros(0, np.uint32)
-        slen = lib.svio_seq_buf_len(res)
-        b.seq_buf = ctypes.string_at(lib.svio_seq_buf(res), slen) if slen else b""
-        b.packed = seq_mode == 2
-        b.seq_len = (arr(lib.svio_seq_len, b.n, np.int32) if seq_mode == 2
-                     else None)
-        return b
-    finally:
+    count = lib.svio_result_count(res)
+    if count_only:
         lib.svio_result_free(res)
+        return int(count)
+    b = NativeBatch()
+    b.n = int(count)
+    # The batch wraps the C++ buffers zero-copy: views stay valid for the
+    # batch's lifetime and the native result is freed by the finalizer.
+    # Consumers never leak views past the batch (Aln construction copies
+    # into Python objects, bam.py:_batch_to_alns).
+    b._res = _ResultHandle(lib, res)
+    def arr(fn, length, dtype):
+        if length == 0:
+            return np.zeros(0, dtype)
+        ptr = fn(res)
+        return np.ctypeslib.as_array(
+            ctypes.cast(ptr, ctypes.POINTER(ctypes.c_uint8)),
+            shape=(length * np.dtype(dtype).itemsize,)).view(dtype)
+    b.refid = arr(lib.svio_refid, b.n, np.int32)
+    b.pos = arr(lib.svio_pos, b.n, np.int32)
+    b.endpos = arr(lib.svio_endpos, b.n, np.int32)
+    b.flag = arr(lib.svio_flag, b.n, np.uint16)
+    b.mapq = arr(lib.svio_mapq, b.n, np.uint8)
+    b.qname_off = arr(lib.svio_qname_off, b.n + 1, np.int64)
+    b.cigar_off = arr(lib.svio_cigar_off, b.n + 1, np.int64)
+    b.seq_off = arr(lib.svio_seq_off, b.n + 1, np.int64)
+    qlen = lib.svio_qname_buf_len(res)
+    # qnames stay a bytes copy (small; sliced + .decode()d per record)
+    b.qname_buf = ctypes.string_at(lib.svio_qname_buf(res), qlen) if qlen else b""
+    clen = lib.svio_cigar_buf_len(res)
+    b.cigar_buf = arr(lib.svio_cigar_buf, int(clen), np.uint32) if clen else np.zeros(0, np.uint32)
+    slen = int(lib.svio_seq_buf_len(res))
+    b.seq_buf = (arr(lib.svio_seq_buf, slen, np.uint8) if slen
+                 else np.zeros(0, np.uint8))
+    b.packed = seq_mode == 2
+    b.seq_len = (arr(lib.svio_seq_len, b.n, np.int32) if seq_mode == 2
+                 else None)
+    return b

@@ -31,7 +31,7 @@ def _lib():
 
 def _inflate(lib, cdata: bytes, isize: int):
     inb = ctypes.create_string_buffer(cdata, len(cdata) + 8)   # input slack
-    outb = ctypes.create_string_buffer(isize + 8)              # output slack
+    outb = ctypes.create_string_buffer(isize + 16)             # output slack
     rc = lib.svio_inflate(inb, len(cdata), outb, isize)
     return rc, outb.raw[:isize]
 
