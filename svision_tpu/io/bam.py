@@ -18,7 +18,7 @@ import struct
 from typing import Dict, Iterator, List, Optional, Tuple
 
 from svision_tpu.collect.records import Aln
-from svision_tpu.io.bgzf import BgzfReader
+from svision_tpu.io.bgzf import BgzfReader, read_block as bgzf_read_block
 
 SEQ_NT = "=ACMGRSVTWYHKDBN"
 CIGAR_OPS = "MIDNSHP=X"
@@ -32,6 +32,107 @@ def reg2bins(beg: int, end: int) -> List[int]:
     for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
         bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
     return bins
+
+
+def reg2bins_csi(beg: int, end: int, min_shift: int, depth: int) -> List[int]:
+    """All CSI bins overlapping [beg, end) for arbitrary (min_shift, depth)
+    binning (CSIv1 spec; equals reg2bins at min_shift=14, depth=5)."""
+    bins = []
+    end -= 1
+    s = min_shift + depth * 3
+    t = 0
+    for level in range(depth + 1):
+        bins.extend(range(t + (beg >> s), t + (end >> s) + 1))
+        t += 1 << (level * 3)
+        s -= 3
+    return bins
+
+
+def _merge_chunks(chunks: List[Tuple[int, int]], min_off: int
+                  ) -> List[Tuple[int, int]]:
+    kept = [(max(beg, min_off), end) for beg, end in chunks if end > min_off]
+    kept.sort()
+    merged: List[Tuple[int, int]] = []
+    for beg, end in kept:
+        if merged and beg <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], end))
+        else:
+            merged.append((beg, end))
+    return merged
+
+
+class _BaiIndex:
+    """Parsed BAI: 5-level 512 Mb binning + 16 kb linear index."""
+
+    def __init__(self, bins_per_ref, linear_per_ref, stats_per_ref):
+        self.bins_per_ref = bins_per_ref
+        self.linear_per_ref = linear_per_ref
+        self.stats_per_ref = stats_per_ref
+
+    def chunks_for(self, tid: int, start: int, stop: int
+                   ) -> List[Tuple[int, int]]:
+        bins = self.bins_per_ref[tid]
+        linear = self.linear_per_ref[tid]
+        min_off = 0
+        win = start >> 14
+        if linear:
+            if win >= len(linear):
+                win = len(linear) - 1
+            min_off = linear[win] if win >= 0 else 0
+        chunks = []
+        for b in reg2bins(start, stop):
+            chunks.extend(bins.get(b, ()))
+        return _merge_chunks(chunks, min_off)
+
+    def stats(self, tid: int):
+        """(mapped, unmapped) from the pseudo-bin, (-1,-1) if the ref has
+        bins but no pseudo-bin, None if the ref is absent from the index."""
+        if self.stats_per_ref[tid] is not None:
+            return self.stats_per_ref[tid]
+        if self.bins_per_ref[tid]:
+            return (-1, -1)
+        return None
+
+
+class _CsiIndex:
+    """Parsed CSI v1: (min_shift, depth)-parameterized binning; per-bin
+    loffset replaces the BAI linear index (climb to the first existing
+    ancestor of the leaf bin containing `start`, htslib semantics)."""
+
+    def __init__(self, min_shift, depth, bins_per_ref, loff_per_ref,
+                 stats_per_ref):
+        self.min_shift = min_shift
+        self.depth = depth
+        self.bins_per_ref = bins_per_ref    # [ {bin: [(beg,end),...]} ]
+        self.loff_per_ref = loff_per_ref    # [ {bin: loffset} ]
+        self.stats_per_ref = stats_per_ref
+
+    def chunks_for(self, tid: int, start: int, stop: int
+                   ) -> List[Tuple[int, int]]:
+        bins = self.bins_per_ref[tid]
+        loff = self.loff_per_ref[tid]
+        # leaf bin containing `start`, then climb parents until one exists
+        t = sum(1 << (l * 3) for l in range(self.depth))
+        b = t + (start >> self.min_shift)
+        min_off = 0
+        while True:
+            if b in loff:
+                min_off = loff[b]
+                break
+            if b == 0:
+                break
+            b = (b - 1) >> 3
+        chunks = []
+        for b in reg2bins_csi(start, stop, self.min_shift, self.depth):
+            chunks.extend(bins.get(b, ()))
+        return _merge_chunks(chunks, min_off)
+
+    def stats(self, tid: int):
+        if self.stats_per_ref[tid] is not None:
+            return self.stats_per_ref[tid]
+        if self.bins_per_ref[tid]:
+            return (-1, -1)
+        return None
 
 
 class BamRecordRaw:
@@ -177,9 +278,14 @@ class BamReader:
     def _load_index(self):
         if self._index is not None:
             return self._index
-        for cand in (self.path + ".bai", os.path.splitext(self.path)[0] + ".bai"):
+        base = os.path.splitext(self.path)[0]
+        # htslib order: .csi preferred over .bai when both exist
+        for cand, reader in ((self.path + ".csi", _read_csi),
+                             (base + ".csi", _read_csi),
+                             (self.path + ".bai", _read_bai),
+                             (base + ".bai", _read_bai)):
             if os.path.exists(cand):
-                self._index = _read_bai(cand)
+                self._index = reader(cand)
                 return self._index
         self._index = False
         return self._index
@@ -193,18 +299,16 @@ class BamReader:
         return True
 
     def get_index_statistics(self):
-        """[(name, mapped, unmapped)] from BAI pseudo-bins; refs with any index
-        bins but no pseudo-bin report mapped=-1 (present but uncounted)."""
+        """[(name, mapped, unmapped)] from index pseudo-bins; refs with any
+        index bins but no pseudo-bin report mapped=-1 (present, uncounted)."""
         idx = self._load_index()
         out = []
         if not idx:
             return out
-        bins_per_ref, _, stats = idx
         for i, name in enumerate(self.references):
-            if stats[i] is not None:
-                out.append((name, stats[i][0], stats[i][1]))
-            elif bins_per_ref[i]:
-                out.append((name, -1, -1))
+            st = idx.stats(i)
+            if st is not None:
+                out.append((name, st[0], st[1]))
         return out
 
     # -- record iteration ----------------------------------------------------
@@ -248,28 +352,7 @@ class BamReader:
 
     def _chunks_for(self, tid: int, start: int, stop: int, idx
                     ) -> List[Tuple[int, int]]:
-        bins_per_ref, linear_per_ref, _ = idx
-        bins = bins_per_ref[tid]
-        linear = linear_per_ref[tid]
-        min_off = 0
-        win = start >> 14
-        if linear:
-            if win >= len(linear):
-                win = len(linear) - 1
-            min_off = linear[win] if win >= 0 else 0
-        chunks = []
-        for b in reg2bins(start, stop):
-            for beg, end in bins.get(b, ()):
-                if end > min_off:
-                    chunks.append((max(beg, min_off), end))
-        chunks.sort()
-        merged: List[Tuple[int, int]] = []
-        for beg, end in chunks:
-            if merged and beg <= merged[-1][1]:
-                merged[-1] = (merged[-1][0], max(merged[-1][1], end))
-            else:
-                merged.append((beg, end))
-        return merged
+        return idx.chunks_for(tid, start, stop)
 
     def _fetch_indexed(self, tid, start, stop, idx):
         for beg, end in self._chunks_for(tid, start, stop, idx):
@@ -381,8 +464,8 @@ def _batch_to_alns(batch, names: List[str], indices=None) -> Iterator[Aln]:
         )
 
 
-def _read_bai(path: str):
-    """Parse a BAI file -> (bins_per_ref, linear_per_ref, stats_per_ref)."""
+def _read_bai(path: str) -> _BaiIndex:
+    """Parse a BAI file into a _BaiIndex."""
     with open(path, "rb") as fh:
         data = fh.read()
     if data[:4] != b"BAI\x01":
@@ -417,4 +500,51 @@ def _read_bai(path: str):
         bins_per_ref.append(bins)
         linear_per_ref.append(linear)
         stats_per_ref.append(stats)
-    return bins_per_ref, linear_per_ref, stats_per_ref
+    return _BaiIndex(bins_per_ref, linear_per_ref, stats_per_ref)
+
+
+def _read_csi(path: str) -> _CsiIndex:
+    """Parse a CSI v1 file (BGZF-compressed) into a _CsiIndex."""
+    parts = []
+    with open(path, "rb") as fh:
+        while True:
+            block, csize = bgzf_read_block(fh)
+            if csize == 0:
+                break
+            parts.append(block)
+    data = b"".join(parts)
+    if data[:4] != b"CSI\x01":
+        raise ValueError(f"{path}: not a CSI index")
+    min_shift, depth, l_aux = struct.unpack_from("<iii", data, 4)
+    off = 16 + l_aux
+    n_ref = struct.unpack_from("<i", data, off)[0]
+    off += 4
+    # pseudo-bin number for (min_shift, depth) binning: max_bin + 1
+    pseudo = ((1 << ((depth + 1) * 3)) - 1) // 7 + 1
+    bins_per_ref = []
+    loff_per_ref = []
+    stats_per_ref = []
+    for _ in range(n_ref):
+        n_bin = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        bins: Dict[int, List[Tuple[int, int]]] = {}
+        loffs: Dict[int, int] = {}
+        stats = None
+        for _ in range(n_bin):
+            bin_no, loffset, n_chunk = struct.unpack_from("<IQi", data, off)
+            off += 16
+            chunks = []
+            for _ in range(n_chunk):
+                beg, end = struct.unpack_from("<QQ", data, off)
+                off += 16
+                chunks.append((beg, end))
+            if bin_no == pseudo and len(chunks) == 2:  # pseudo-bin metadata
+                stats = (chunks[1][0], chunks[1][1])   # mapped, unmapped
+            else:
+                bins[bin_no] = chunks
+                loffs[bin_no] = loffset
+        bins_per_ref.append(bins)
+        loff_per_ref.append(loffs)
+        stats_per_ref.append(stats)
+    return _CsiIndex(min_shift, depth, bins_per_ref, loff_per_ref,
+                     stats_per_ref)

@@ -62,6 +62,27 @@ def _reg2bin(beg: int, end: int) -> int:
     return 0
 
 
+def _reg2bin_csi(beg: int, end: int, min_shift: int, depth: int) -> int:
+    """Smallest bin containing [beg, end) under (min_shift, depth) binning
+    (CSI spec; equals _reg2bin at min_shift=14, depth=5)."""
+    end -= 1
+    for level in range(depth, 0, -1):
+        s = min_shift + (depth - level) * 3
+        if beg >> s == end >> s:
+            return ((1 << (level * 3)) - 1) // 7 + (beg >> s)
+    return 0
+
+
+def _bin_first_window(bin_no: int, min_shift: int, depth: int) -> int:
+    """First min_shift-granularity window covered by a bin."""
+    level = 0
+    while ((1 << ((level + 1) * 3)) - 1) // 7 <= bin_no:
+        level += 1
+    offset = ((1 << (level * 3)) - 1) // 7
+    beg = (bin_no - offset) << (min_shift + (depth - level) * 3)
+    return beg >> min_shift
+
+
 def _encode_record(rec: SamRecord, tid: int) -> bytes:
     name = rec.qname.encode("ascii") + b"\x00"
     cigar_ops: List[int] = []
@@ -104,7 +125,15 @@ def _encode_record(rec: SamRecord, tid: int) -> bytes:
 
 def write_bam(path: str, references: Sequence[Tuple[str, int]],
               records: List[SamRecord], sort: bool = True,
-              write_index: bool = True) -> None:
+              write_index: bool = True, index_format: str = "bai",
+              min_shift: int = 14, depth: int = 5) -> None:
+    """index_format 'bai' writes path.bai (fixed 14/5 binning); 'csi' writes
+    path.csi with (min_shift, depth) binning — the index samtools produces
+    with `samtools index -c`, required for contigs >= 512 Mb."""
+    if index_format not in ("bai", "csi"):
+        raise ValueError(f"unknown index_format {index_format!r}")
+    if index_format == "bai" and (min_shift, depth) != (14, 5):
+        raise ValueError("BAI binning is fixed at min_shift=14, depth=5")
     refs = list(references)
     tid_of: Dict[str, int] = {name: i for i, (name, _) in enumerate(refs)}
     recs = list(records)
@@ -114,7 +143,8 @@ def write_bam(path: str, references: Sequence[Tuple[str, int]],
     header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
         f"@SQ\tSN:{name}\tLN:{length}\n" for name, length in refs)
 
-    # per-ref index structures
+    # per-ref index structures (linear index kept at min_shift granularity;
+    # for CSI it becomes the per-bin loffsets)
     bins: List[Dict[int, List[Tuple[int, int]]]] = [dict() for _ in refs]
     linear: List[Dict[int, int]] = [dict() for _ in refs]
     mapped = [0] * len(refs)
@@ -143,13 +173,17 @@ def write_bam(path: str, references: Sequence[Tuple[str, int]],
                 unmapped[tid] += 1
             else:
                 mapped[tid] += 1
-            b = _reg2bin(rec.pos, rec.end_pos())
+            if index_format == "csi":
+                b = _reg2bin_csi(rec.pos, rec.end_pos(), min_shift, depth)
+            else:
+                b = _reg2bin(rec.pos, rec.end_pos())
             chunk_list = bins[tid].setdefault(b, [])
             if chunk_list and chunk_list[-1][1] == voff_start:
                 chunk_list[-1] = (chunk_list[-1][0], voff_end)
             else:
                 chunk_list.append((voff_start, voff_end))
-            for win in range(rec.pos >> 14, ((max(rec.end_pos(), rec.pos + 1) - 1) >> 14) + 1):
+            last_win = (max(rec.end_pos(), rec.pos + 1) - 1) >> min_shift
+            for win in range(rec.pos >> min_shift, last_win + 1):
                 if win not in linear[tid] or voff_start < linear[tid][win]:
                     linear[tid][win] = voff_start
             if ref_first[tid] is None:
@@ -158,6 +192,10 @@ def write_bam(path: str, references: Sequence[Tuple[str, int]],
         w.close()
 
     if not write_index:
+        return
+    if index_format == "csi":
+        _write_csi(path + ".csi", refs, bins, linear, mapped, unmapped,
+                   ref_first, ref_last, min_shift, depth)
         return
     with open(path + ".bai", "wb") as fh:
         fh.write(b"BAI\x01")
@@ -188,3 +226,40 @@ def write_bam(path: str, references: Sequence[Tuple[str, int]],
                 fh.write(struct.pack(f"<{n_intv}Q", *filled))
             else:
                 fh.write(struct.pack("<i", 0))
+
+
+def _write_csi(path, refs, bins, linear, mapped, unmapped, ref_first,
+               ref_last, min_shift, depth):
+    """Serialize a CSI v1 index (BGZF-compressed). Each bin's loffset is the
+    filled linear-index value at the bin's first window (htslib semantics:
+    virtual offset a reader may safely start from for that bin)."""
+    pseudo = ((1 << ((depth + 1) * 3)) - 1) // 7 + 1
+    body = bytearray()
+    body += b"CSI\x01"
+    body += struct.pack("<iii", min_shift, depth, 0)  # no aux
+    body += struct.pack("<i", len(refs))
+    for tid in range(len(refs)):
+        lin = linear[tid]
+        filled: Dict[int, int] = {}
+        prev = 0
+        for win in range(max(lin) + 1 if lin else 0):
+            if win in lin:
+                prev = lin[win]
+            filled[win] = prev
+        ref_bins = bins[tid]
+        n_bin = len(ref_bins) + (1 if ref_first[tid] is not None else 0)
+        body += struct.pack("<i", n_bin)
+        for bin_no in sorted(ref_bins):
+            chunks = ref_bins[bin_no]
+            loffset = filled.get(_bin_first_window(bin_no, min_shift, depth), 0)
+            body += struct.pack("<IQi", bin_no, loffset, len(chunks))
+            for beg, end in chunks:
+                body += struct.pack("<QQ", beg, end)
+        if ref_first[tid] is not None:  # pseudo-bin with counts
+            body += struct.pack("<IQi", pseudo, ref_first[tid], 2)
+            body += struct.pack("<QQ", ref_first[tid], ref_last[tid])
+            body += struct.pack("<QQ", mapped[tid], unmapped[tid])
+    with open(path, "wb") as fh:
+        w = BgzfWriter(fh)
+        w.write(bytes(body))
+        w.close()

@@ -1,16 +1,69 @@
 """Indexed FASTA reader (.fai), replacing pysam.FastaFile.
 
-One mmap-backed handle serves all fetches; the reference reopens the FASTA on
-every event (analyze_reads.py:42-46) which SURVEY.md flags as a hot-loop sin.
-Fetch semantics match pysam: 0-based half-open, case preserved, newlines
-stripped via the .fai linebases/linewidth arithmetic.
+One handle serves all fetches; the reference reopens the FASTA on every event
+(analyze_reads.py:42-46) which SURVEY.md flags as a hot-loop sin. Fetch
+semantics match pysam: 0-based half-open, case preserved, newlines stripped
+via the .fai linebases/linewidth arithmetic.
+
+Both plain FASTA (mmap-backed) and bgzip-compressed FASTA (.fa.gz + .gzi
+block index, as produced by `bgzip` + `samtools faidx`) are supported — the
+.fai coordinates always refer to the uncompressed stream.
 """
 
 from __future__ import annotations
 
+import bisect
 import mmap
 import os
+import struct
 from typing import Dict, List, Tuple
+
+from svision_tpu.io.bgzf import BgzfReader, compress_block
+
+
+def _read_gzi(path: str) -> Tuple[List[int], List[int]]:
+    """Parse a bgzip .gzi block index -> (compressed_offs, uncompressed_offs)
+    including the implicit leading (0, 0) entry."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    n = struct.unpack_from("<Q", data, 0)[0]
+    coffs = [0]
+    uoffs = [0]
+    for i in range(n):
+        c, u = struct.unpack_from("<QQ", data, 8 + 16 * i)
+        coffs.append(c)
+        uoffs.append(u)
+    return coffs, uoffs
+
+
+class _BgzfBytes:
+    """Random-access byte reads from a bgzip file via its .gzi index."""
+
+    def __init__(self, fh, gzi_path: str):
+        self._reader = BgzfReader(fh)
+        self._coffs, self._uoffs = _read_gzi(gzi_path)
+
+    def read(self, start: int, end: int) -> bytes:
+        if end <= start:
+            return b""
+        i = bisect.bisect_right(self._uoffs, start) - 1
+        within = start - self._uoffs[i]
+        self._reader.seek_virtual((self._coffs[i] << 16) | within)
+        return self._reader.read(end - start)
+
+    def close(self):
+        pass
+
+
+class _MmapBytes:
+    def __init__(self, fh):
+        self._mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+
+    def read(self, start: int, end: int) -> bytes:
+        return self._mm[start:end]
+
+    def close(self):
+        self._mm.close()
 
 
 class FastaFile:
@@ -33,7 +86,17 @@ class FastaFile:
                                      int(parts[3]), int(parts[4]))
                 self._order.append(name)
         self._fh = open(path, "rb")
-        self._mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        magic = self._fh.read(2)
+        self._fh.seek(0)
+        if magic == b"\x1f\x8b":  # bgzip-compressed reference
+            gzi = path + ".gzi"
+            if not os.path.exists(gzi):
+                raise FileNotFoundError(
+                    f"bgzip FASTA block index not found: {gzi} "
+                    "(generate with 'bgzip -r' or 'samtools faidx')")
+            self._bytes = _BgzfBytes(self._fh, gzi)
+        else:
+            self._bytes = _MmapBytes(self._fh)
 
     @property
     def references(self) -> List[str]:
@@ -53,11 +116,11 @@ class FastaFile:
         byte_start = offset + (start // linebases) * linewidth + start % linebases
         byte_end = offset + ((end - 1) // linebases) * linewidth \
             + (end - 1) % linebases + 1
-        raw = self._mm[byte_start:byte_end]
+        raw = self._bytes.read(byte_start, byte_end)
         return raw.replace(b"\n", b"").replace(b"\r", b"").decode("ascii")
 
     def close(self):
-        self._mm.close()
+        self._bytes.close()
         self._fh.close()
 
     def __enter__(self):
@@ -67,12 +130,49 @@ class FastaFile:
         self.close()
 
 
-def write_fasta(path: str, sequences: Dict[str, str], line_width: int = 60) -> None:
-    """Write a FASTA plus its .fai (test/synthetic-data helper)."""
-    with open(path, "w") as fh, open(path + ".fai", "w") as fai:
-        for name, seq in sequences.items():
-            fh.write(f">{name}\n")
-            offset = fh.tell()
-            for i in range(0, len(seq), line_width):
-                fh.write(seq[i:i + line_width] + "\n")
-            fai.write(f"{name}\t{len(seq)}\t{offset}\t{line_width}\t{line_width + 1}\n")
+def write_fasta(path: str, sequences: Dict[str, str], line_width: int = 60,
+                bgzip: bool = None) -> None:
+    """Write a FASTA plus its .fai (test/synthetic-data helper).
+
+    bgzip=True (default when `path` ends in .gz) writes a bgzip-compressed
+    FASTA with its .gzi block index; the .fai is identical either way
+    (offsets refer to the uncompressed stream)."""
+    if bgzip is None:
+        bgzip = path.endswith(".gz")
+    text = []
+    fai_lines = []
+    pos = 0
+    for name, seq in sequences.items():
+        header = f">{name}\n"
+        text.append(header)
+        pos += len(header)
+        fai_lines.append(
+            f"{name}\t{len(seq)}\t{pos}\t{line_width}\t{line_width + 1}\n")
+        for i in range(0, len(seq), line_width):
+            line = seq[i:i + line_width] + "\n"
+            text.append(line)
+            pos += len(line)
+    payload = "".join(text).encode("ascii")
+    with open(path + ".fai", "w") as fai:
+        fai.writelines(fai_lines)
+    if not bgzip:
+        with open(path, "wb") as fh:
+            fh.write(payload)
+        return
+    # bgzip: fixed-size blocks, record (compressed, uncompressed) offsets of
+    # every block after the first into the .gzi
+    entries = []
+    coff = 0
+    with open(path, "wb") as fh:
+        for uoff in range(0, len(payload), 0xFF00):
+            if uoff:
+                entries.append((coff, uoff))
+            block = compress_block(payload[uoff:uoff + 0xFF00])
+            fh.write(block)
+            coff += len(block)
+        from svision_tpu.io.bgzf import BGZF_EOF
+        fh.write(BGZF_EOF)
+    with open(path + ".gzi", "wb") as fh:
+        fh.write(struct.pack("<Q", len(entries)))
+        for c, u in entries:
+            fh.write(struct.pack("<QQ", c, u))

@@ -208,3 +208,84 @@ def test_native_mt_decode_matches_serial(tmp_path, monkeypatch):
         bam.close()
         bam2.close()
     assert outs["1"] == outs["3"]
+
+
+def test_csi_index_matches_bai(tmp_path):
+    """CSI (samtools index -c) fetch/stats must agree with BAI exactly,
+    on both the pure-Python and native fetch paths."""
+    rng = random.Random(11)
+    recs = _mk_reads(rng, 350)
+    pb = str(tmp_path / "bai.bam")
+    pc = str(tmp_path / "csi.bam")
+    write_bam(pb, [("chr1", 1000000), ("chr2", 500)], recs)
+    write_bam(pc, [("chr1", 1000000), ("chr2", 500)], recs,
+              index_format="csi")
+    import os
+    assert os.path.exists(pc + ".csi") and not os.path.exists(pc + ".bai")
+
+    with BamReader(pb) as bb, BamReader(pc) as bc:
+        assert type(bb._load_index()).__name__ == "_BaiIndex"
+        assert type(bc._load_index()).__name__ == "_CsiIndex"
+        assert bb.get_index_statistics() == bc.get_index_statistics()
+        for _ in range(30):
+            s = rng.randrange(0, 999000)
+            e = s + rng.randrange(1, 40000)
+            want = sorted(a.query_name for a in bb.fetch("chr1", s, e))
+            got = sorted(a.query_name for a in bc.fetch("chr1", s, e))
+            assert got == want, (s, e)
+            assert bc.count_overlapping("chr1", s, e) == len(want)
+
+
+def test_csi_deep_binning(tmp_path):
+    """Non-default (min_shift, depth) CSI binning — the layout samtools
+    uses for >512Mb contigs — fetches correctly."""
+    rng = random.Random(12)
+    recs = _mk_reads(rng, 120)
+    p = str(tmp_path / "deep.bam")
+    write_bam(p, [("chr1", 1000000)], recs, index_format="csi",
+              min_shift=12, depth=6)
+    with BamReader(p) as bam:
+        idx = bam._load_index()
+        assert (idx.min_shift, idx.depth) == (12, 6)
+        for _ in range(20):
+            s = rng.randrange(0, 990000)
+            e = s + rng.randrange(1, 50000)
+            got = sorted(a.query_name for a in bam.fetch("chr1", s, e))
+            want = sorted(r.qname for r in recs
+                          if r.pos < e and r.end_pos() > s)
+            assert got == want, (s, e)
+
+
+def test_reg2bins_csi_matches_bai_params():
+    from svision_tpu.io.bam import reg2bins_csi
+    rng = random.Random(13)
+    for _ in range(200):
+        beg = rng.randrange(0, 1 << 28)
+        end = beg + rng.randrange(1, 1 << 20)
+        assert reg2bins_csi(beg, end, 14, 5) == sorted(reg2bins(beg, end))
+
+
+def test_bgzip_fasta_fetch(tmp_path):
+    """bgzip-compressed reference (.fa.gz + .gzi) fetches identically to
+    the plain-text FASTA."""
+    from svision_tpu.io.fasta import FastaFile, write_fasta
+    rng = random.Random(14)
+    seqs = {"chr1": "".join(rng.choice("ACGTacgtN") for _ in range(300000)),
+            "chr2": "".join(rng.choice("ACGT") for _ in range(531))}
+    plain = str(tmp_path / "ref.fa")
+    gz = str(tmp_path / "ref.fa.gz")
+    write_fasta(plain, seqs)
+    write_fasta(gz, seqs)
+    import os
+    assert os.path.exists(gz + ".gzi") and os.path.exists(gz + ".fai")
+    fp = FastaFile(plain)
+    fg = FastaFile(gz)
+    assert fg.references == ["chr1", "chr2"]
+    assert fg.get_reference_length("chr1") == 300000
+    assert fg.fetch("chr2") == seqs["chr2"]
+    for _ in range(40):
+        s = rng.randrange(0, 300000)
+        e = s + rng.randrange(1, 90000)
+        assert fg.fetch("chr1", s, e) == fp.fetch("chr1", s, e), (s, e)
+    fp.close()
+    fg.close()
