@@ -71,8 +71,9 @@ class FastaFile:
         self.path = path
         fai = path + ".fai"
         if not os.path.exists(fai):
-            raise FileNotFoundError(f"FASTA index not found: {fai} "
-                                    "(generate with 'samtools faidx')")
+            # pysam/htslib auto-build the index when missing (faidx_build);
+            # match that instead of demanding a pre-made .fai
+            build_fai(path)
         # name -> (length, offset, linebases, linewidth)
         self._index: Dict[str, Tuple[int, int, int, int]] = {}
         self._order: List[str] = []
@@ -91,9 +92,7 @@ class FastaFile:
         if magic == b"\x1f\x8b":  # bgzip-compressed reference
             gzi = path + ".gzi"
             if not os.path.exists(gzi):
-                raise FileNotFoundError(
-                    f"bgzip FASTA block index not found: {gzi} "
-                    "(generate with 'bgzip -r' or 'samtools faidx')")
+                build_gzi(path)  # htslib builds this on demand too
             self._bytes = _BgzfBytes(self._fh, gzi)
         else:
             self._bytes = _MmapBytes(self._fh)
@@ -128,6 +127,102 @@ class FastaFile:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def build_gzi(path: str) -> None:
+    """Build the .gzi block index for a bgzip file by walking its blocks
+    (what `bgzip -r` does)."""
+    from svision_tpu.io.bgzf import read_block
+    entries = []
+    coff = 0
+    uoff = 0
+    with open(path, "rb") as fh:
+        while True:
+            data, csize = read_block(fh)
+            if csize == 0:
+                break
+            if coff and data:
+                entries.append((coff, uoff))
+            coff += csize
+            uoff += len(data)
+    with open(path + ".gzi", "wb") as fh:
+        fh.write(struct.pack("<Q", len(entries)))
+        for c, u in entries:
+            fh.write(struct.pack("<QQ", c, u))
+
+
+def build_fai(path: str) -> None:
+    """Build the .fai index by scanning the FASTA (samtools faidx semantics:
+    per contig, all sequence lines except the last must share one width)."""
+    with open(path, "rb") as raw:
+        if raw.read(2) == b"\x1f\x8b":
+            raw.seek(0)
+            if not os.path.exists(path + ".gzi"):
+                build_gzi(path)
+            reader = BgzfReader(raw)
+
+            def lines():
+                buf = b""
+                while True:
+                    chunk = reader.read(1 << 20)
+                    if not chunk:
+                        break
+                    buf += chunk
+                    parts = buf.split(b"\n")
+                    buf = parts.pop()
+                    for p in parts:
+                        yield p + b"\n"
+                if buf:
+                    yield buf
+
+            _scan_fai(lines(), path)
+        else:
+            raw.seek(0)
+            _scan_fai(iter(raw.readline, b""), path)
+
+
+def _scan_fai(lines, path: str) -> None:
+    rows = []   # (name, length, offset, linebases, linewidth)
+    name = None
+    length = seq_off = linebases = linewidth = 0
+    last_short = False
+    pos = 0
+    for line in lines:
+        stripped = line.rstrip(b"\r\n")
+        if line.startswith(b">"):
+            if name is not None:
+                rows.append((name, length, seq_off, linebases, linewidth))
+            name = stripped[1:].split()[0].decode("ascii") if len(stripped) > 1 else ""
+            if not name:
+                raise ValueError(f"{path}: malformed FASTA header")
+            pos += len(line)
+            seq_off = pos
+            length = linebases = linewidth = 0
+            last_short = False
+            continue
+        if name is None:
+            if stripped:
+                raise ValueError(f"{path}: sequence data before first header")
+            pos += len(line)
+            continue
+        if stripped:
+            if last_short:
+                raise ValueError(f"{path}: ragged line widths in {name} "
+                                 "(cannot faidx-index)")
+            if linebases == 0:
+                linebases = len(stripped)
+                linewidth = len(line)
+            elif len(stripped) != linebases:
+                if len(stripped) > linebases:
+                    raise ValueError(f"{path}: ragged line widths in {name}")
+                last_short = True  # short line only valid as the final one
+            length += len(stripped)
+        pos += len(line)
+    if name is not None:
+        rows.append((name, length, seq_off, linebases, linewidth))
+    with open(path + ".fai", "w") as fh:
+        for name, length, off, lb, lw in rows:
+            fh.write(f"{name}\t{length}\t{off}\t{lb or length}\t{lw or length + 1}\n")
 
 
 def write_fasta(path: str, sequences: Dict[str, str], line_width: int = 60,

@@ -289,3 +289,33 @@ def test_bgzip_fasta_fetch(tmp_path):
         assert fg.fetch("chr1", s, e) == fp.fetch("chr1", s, e), (s, e)
     fp.close()
     fg.close()
+
+
+def test_fai_autobuild(tmp_path):
+    """Missing .fai (and .gzi) are built on open, like pysam/htslib faidx."""
+    import os
+    from svision_tpu.io.fasta import FastaFile, write_fasta
+    rng = random.Random(15)
+    seqs = {"c1": "".join(rng.choice("ACGT") for _ in range(7001)),
+            "c2": "ACGTN" * 33}
+    for suffix in ("plain.fa", "comp.fa.gz"):
+        p = str(tmp_path / suffix)
+        write_fasta(p, seqs)
+        golden_fai = open(p + ".fai").read()
+        os.remove(p + ".fai")
+        if suffix.endswith(".gz"):
+            os.remove(p + ".gzi")
+        fa = FastaFile(p)
+        assert open(p + ".fai").read() == golden_fai
+        assert fa.fetch("c1", 100, 500) == seqs["c1"][100:500]
+        assert fa.fetch("c2") == seqs["c2"]
+        fa.close()
+
+
+def test_fai_autobuild_ragged_rejected(tmp_path):
+    from svision_tpu.io.fasta import FastaFile
+    p = str(tmp_path / "bad.fa")
+    with open(p, "w") as fh:
+        fh.write(">c1\nACGTACGT\nACG\nACGTACGT\n")
+    with pytest.raises(ValueError):
+        FastaFile(p)
