@@ -26,12 +26,9 @@ _REF_CONSUME = (1, 0, 1, 1, 0, 0, 0, 1, 1)  # per numeric op MIDNSHP=X
 
 
 def reg2bins(beg: int, end: int) -> List[int]:
-    """All index bins overlapping [beg, end) (SAM spec, 5-level 512Mb)."""
-    bins = [0]
-    end -= 1
-    for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
-        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
-    return bins
+    """All index bins overlapping [beg, end) (SAM spec, 5-level 512Mb) —
+    the BAI special case of reg2bins_csi."""
+    return reg2bins_csi(beg, end, 14, 5)
 
 
 def reg2bins_csi(beg: int, end: int, min_shift: int, depth: int) -> List[int]:

@@ -48,18 +48,9 @@ class SamRecord:
 
 
 def _reg2bin(beg: int, end: int) -> int:
-    end -= 1
-    if beg >> 14 == end >> 14:
-        return ((1 << 15) - 1) // 7 + (beg >> 14)
-    if beg >> 17 == end >> 17:
-        return ((1 << 12) - 1) // 7 + (beg >> 17)
-    if beg >> 20 == end >> 20:
-        return ((1 << 9) - 1) // 7 + (beg >> 20)
-    if beg >> 23 == end >> 23:
-        return ((1 << 6) - 1) // 7 + (beg >> 23)
-    if beg >> 26 == end >> 26:
-        return ((1 << 3) - 1) // 7 + (beg >> 26)
-    return 0
+    """Smallest bin containing [beg, end) under BAI's fixed 14/5 binning —
+    the special case of _reg2bin_csi."""
+    return _reg2bin_csi(beg, end, 14, 5)
 
 
 def _reg2bin_csi(beg: int, end: int, min_shift: int, depth: int) -> int:

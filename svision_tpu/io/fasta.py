@@ -217,6 +217,10 @@ def _scan_fai(lines, path: str) -> None:
                     raise ValueError(f"{path}: ragged line widths in {name}")
                 last_short = True  # short line only valid as the final one
             length += len(stripped)
+        else:
+            # blank line inside a contig breaks the offset arithmetic the
+            # .fai encodes; a short or blank line may only end the contig
+            last_short = True
         pos += len(line)
     if name is not None:
         rows.append((name, length, seq_off, linebases, linewidth))

@@ -468,7 +468,11 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
   if (!count_only) {
     // Reserve output buffers from the compressed span (BAM inflates ~4-15x;
     // modest under-reserve just means one or two doublings instead of ~20,
-    // which removes most reallocation memcpy traffic from the scan).
+    // which removes most reallocation memcpy traffic from the scan). The
+    // reserve is a hint, not a budget: hard-cap it so a huge span (whole
+    // unindexed BAM, or index chunks covering most of the file) cannot
+    // up-front-allocate gigabytes the region filter would never fill —
+    // amortized doubling covers anything beyond the cap.
     int64_t comp = 0;
     if (n_chunks > 0) {
       for (int c = 0; c < n_chunks; c++)
@@ -478,10 +482,16 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
       fseeko(fp, 0, SEEK_SET);
     }
     if (comp > 0) {
-      int64_t cap = comp < (int64_t)1 << 30 ? comp : (int64_t)1 << 30;
-      res->batch.cigar_buf.reserve((size_t)(cap / 8));
-      if (decode_seq == 2) res->batch.seq_buf.reserve((size_t)(cap * 4));
-      else if (decode_seq == 1) res->batch.seq_buf.reserve((size_t)(cap * 8));
+      constexpr int64_t kSeqReserveCap = 512ll << 20;    // 512 MiB
+      constexpr int64_t kCigarReserveCap = 64ll << 20;   // 64 MiB
+      int64_t cig = comp / 8;
+      res->batch.cigar_buf.reserve(
+          (size_t)(cig < kCigarReserveCap ? cig : kCigarReserveCap));
+      int64_t seq = decode_seq == 2 ? comp * 4
+                    : decode_seq == 1 ? comp * 8 : 0;
+      if (seq > 0)
+        res->batch.seq_buf.reserve(
+            (size_t)(seq < kSeqReserveCap ? seq : kSeqReserveCap));
     }
   }
 

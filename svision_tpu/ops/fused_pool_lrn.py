@@ -54,12 +54,8 @@ def _lrn_f32(p: jax.Array) -> jax.Array:
     c = p.shape[-1]
     sq = p * p
     win = sq
-    zeros_cache = {}
     for k in range(1, _RADIUS + 1):
-        z = zeros_cache.get(k)
-        if z is None:
-            z = jnp.zeros(p.shape[:-1] + (k,), p.dtype)
-            zeros_cache[k] = z
+        z = jnp.zeros(p.shape[:-1] + (k,), p.dtype)
         win = win + jnp.concatenate([sq[..., k:], z], axis=-1)
         win = win + jnp.concatenate([z, sq[..., :c - k]], axis=-1)
     v = _BIAS_K + _ALPHA * win
@@ -78,18 +74,22 @@ def _kernel(x_ref, b_ref, o_ref):
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def bias_relu_pool_lrn(x: jax.Array, bias: jax.Array,
-                       use_pallas: bool = True) -> jax.Array:
+                       use_pallas: bool = None) -> jax.Array:
     """relu(x + bias) -> 3x3 stride-2 VALID maxpool -> LRN(2, 2e-5, 0.75).
 
     x [N,H,W,C] (bf16 or f32), bias [C]. Math runs in f32 internally and
     rounds once at the output (at least as accurate as the unfused bf16
-    chain). use_pallas=False (and any non-TPU backend) takes an equivalent
-    jnp path so tests/CPU meshes need no kernel support.
+    chain). use_pallas defaults to True only on a TPU backend (unless the
+    test hook _INTERPRET forces the interpreter); use_pallas=False takes an
+    equivalent jnp path so tests/CPU meshes need no kernel support.
     """
+    if use_pallas is None:
+        use_pallas = _INTERPRET or jax.default_backend() == "tpu"
     if not use_pallas:
         return _reference(x, bias)
     n, h, w, c = x.shape
     ho = (h - 3) // 2 + 1
+    wo = (w - 3) // 2 + 1
     return pl.pallas_call(
         _kernel,
         grid=(n,),
@@ -99,9 +99,9 @@ def bias_relu_pool_lrn(x: jax.Array, bias: jax.Array,
             pl.BlockSpec((1, c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, ho, ho, c), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, ho, wo, c), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, ho, ho, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, ho, wo, c), x.dtype),
         interpret=_INTERPRET,
     )(x, bias.reshape(1, c))
 

@@ -319,3 +319,21 @@ def test_fai_autobuild_ragged_rejected(tmp_path):
         fh.write(">c1\nACGTACGT\nACG\nACGTACGT\n")
     with pytest.raises(ValueError):
         FastaFile(p)
+
+
+def test_fai_autobuild_blank_line_rules(tmp_path):
+    """Blank line mid-contig corrupts .fai offset arithmetic -> rejected;
+    blank lines between records are tolerated (review finding)."""
+    from svision_tpu.io.fasta import FastaFile
+    bad = str(tmp_path / "bad2.fa")
+    with open(bad, "w") as fh:
+        fh.write(">c1\nACGT\n\nTTTT\n")
+    with pytest.raises(ValueError):
+        FastaFile(bad)
+    ok = str(tmp_path / "ok.fa")
+    with open(ok, "w") as fh:
+        fh.write(">c1\nACGT\n\n>c2\nGGGG\n")
+    fa = FastaFile(ok)
+    assert fa.fetch("c1") == "ACGT"
+    assert fa.fetch("c2") == "GGGG"
+    fa.close()
