@@ -22,11 +22,13 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import logging
 import os
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from svision_tpu.config import Options
-from svision_tpu.parallel.dist import assign_cohort, merge_all
+from svision_tpu.parallel.dist import assign_cohort, init_distributed, merge_all
 
 
 @dataclasses.dataclass
@@ -99,6 +101,17 @@ def run_cohort_shard(samples: Dict[str, str], options: Options,
         for part, (s, e) in enumerate(tasks[chrom]):
             res = run_detect(s_opts, s_opts.bam_path, chrom, part, s, e,
                              bam=bam, ref=ref)
+            if res.error:
+                # CLI parity (SURVEY.md §5.3): log + one retry rather than
+                # silently dropping the window's calls
+                logging.warning("cohort %s window %s part %s failed, "
+                                "retrying: %s", sample, chrom, part,
+                                res.error)
+                res = run_detect(s_opts, s_opts.bam_path, chrom, part, s, e,
+                                 bam=bam, ref=ref)
+                if res.error:
+                    logging.error("cohort %s window %s part %s failed: %s",
+                                  sample, chrom, part, res.error)
             cands.extend(res.candidates)
         if warmup_thread is not None:
             warmup_thread.join()
@@ -173,10 +186,13 @@ def merge_cohort_vcfs(sample_vcfs: Dict[str, str], out_path: str,
             else:
                 match.calls[name] = call
 
-    merged.sort(key=lambda s: (s.chrom, s.start, s.end, s.svtype))
-
     if ref is None:
         ref = FastaFile(options.genome)
+    # header contig order, not lexicographic: chr2 before chr10, or tabix/
+    # bcftools reject the cohort VCF as unsorted relative to ##contig lines
+    rank = {name: i for i, name in enumerate(ref.references)}
+    merged.sort(key=lambda s: (rank.get(s.chrom, len(rank)), s.chrom,
+                               s.start, s.end, s.svtype))
     header = vcf_header_lines(ref, "\t".join(names), options.graph)
     header.insert(-1, '##INFO=<ID=SUPP,Number=1,Type=Integer,'
                   'Description="Number of samples carrying the SV">')
@@ -195,22 +211,60 @@ def merge_cohort_vcfs(sample_vcfs: Dict[str, str], out_path: str,
     return out_path
 
 
+def _barrier_all_shards(out_path: str, shard_id: int, num_shards: int,
+                        timeout_s: float = 3600.0) -> None:
+    """Wait until every shard has finished its compute phase.
+
+    Shards are normally launched as independent processes over a shared
+    filesystem (the same assumption merge_all makes), so the barrier is
+    done-file based: each shard drops shards/shard{K}.done and shard 0
+    polls for the full set. When a jax.distributed runtime spans the
+    shards (process_count == num_shards), sync_global_devices rides the
+    collective fabric instead — entered by EVERY shard, so nobody blocks
+    on a one-sided collective."""
+    import jax
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("svision_cohort_merge")
+        return
+    sdir = os.path.join(out_path, "shards")
+    os.makedirs(sdir, exist_ok=True)
+    mine = os.path.join(sdir, f"shard{shard_id}.done")
+    with open(mine, "w") as fh:
+        fh.write("done\n")
+    if shard_id != 0:
+        return
+    want = {os.path.join(sdir, f"shard{k}.done") for k in range(num_shards)}
+    deadline = time.time() + timeout_s
+    while not all(os.path.exists(p) for p in want):
+        if time.time() > deadline:
+            missing = [p for p in want if not os.path.exists(p)]
+            raise TimeoutError(
+                f"cohort merge barrier: shards not finished after "
+                f"{timeout_s:.0f}s: {missing}")
+        time.sleep(0.5)
+
+
 def run_cohort(samples: Dict[str, str], options: Options,
                num_shards: int = 1, shard_id: Optional[int] = None) -> str:
     """Full cohort pipeline for one process. With shard_id=None (or shard 0
     of 1) this process does everything; in a multi-host launch every process
-    calls with its own shard_id and only shard 0 merges (after a barrier via
-    jax.distributed if initialized)."""
+    calls with its own shard_id and only shard 0 merges, after a barrier
+    (done-files on the shared filesystem, or the jax.distributed collective
+    when one spans the shards)."""
     my_shard = 0 if shard_id is None else shard_id
+    if num_shards > 1:
+        # clear this shard's done-file from any previous run before compute
+        # starts, so a relaunch cannot satisfy the barrier with stale files
+        # (shards are expected to be launched together, as one job)
+        stale = os.path.join(options.out_path, "shards",
+                             f"shard{my_shard}.done")
+        if os.path.exists(stale):
+            os.remove(stale)
     run_cohort_shard(samples, options, my_shard, num_shards)
 
-    # the barrier is a collective: EVERY shard must enter it before the
-    # non-zero shards return, or shard 0 blocks forever
     if num_shards > 1:
-        import jax
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-            multihost_utils.sync_global_devices("svision_cohort_merge")
+        _barrier_all_shards(options.out_path, my_shard, num_shards)
     if my_shard != 0:
         return ""
     per_sample = merge_cohort_samples(samples, options)
@@ -233,7 +287,16 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=128)
     ap.add_argument("--num-shards", type=int, default=1)
     ap.add_argument("--shard-id", type=int, default=None)
+    ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                    help="optional jax.distributed coordinator; when given, "
+                    "the merge barrier rides the collective fabric instead "
+                    "of shared-filesystem done-files")
     ns = ap.parse_args(argv)
+
+    if ns.coordinator:
+        init_distributed(coordinator=ns.coordinator,
+                         num_processes=ns.num_shards,
+                         process_id=ns.shard_id or 0)
 
     samples = {}
     for item in ns.samples:

@@ -13,6 +13,7 @@ bit-identical to the 1-shard run (tests/test_dist.py).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -50,7 +51,14 @@ def exchange_score_minmax(local_scores: np.ndarray) -> Tuple[float, float]:
     """Global (min, max) of QUAL scores across processes.
 
     Multi-process: all-gather via jax.experimental.multihost_utils over ICI/
-    DCN. Single process: local reduce."""
+    DCN. Single process: local reduce.
+
+    COLLECTIVE: when jax.process_count() > 1 every process must call this
+    (it blocks until all join). The merge path (merge_all) deliberately does
+    NOT use it — fragments land on a shared filesystem and the merger's scan
+    already sees every shard's scores — so merging from a single process
+    never deadlocks. Use this only from code running symmetrically on all
+    processes (e.g. a future non-shared-FS reduction)."""
     import jax
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
@@ -98,6 +106,17 @@ def run_shard(options, shard_id: int, num_shards: int) -> List[str]:
         for part, (s, e) in enumerate(tasks[chrom]):
             res = run_detect(options, options.bam_path, chrom, part, s, e,
                              bam=bam, ref=ref)
+            if res.error:
+                # same policy as the CLI (SURVEY.md §5.3): log + one retry
+                # instead of silently losing the window's calls
+                logging.warning("shard %d window %s part %s failed, "
+                                "retrying: %s", shard_id, chrom, part,
+                                res.error)
+                res = run_detect(options, options.bam_path, chrom, part, s,
+                                 e, bam=bam, ref=ref)
+                if res.error:
+                    logging.error("shard %d window %s part %s failed: %s",
+                                  shard_id, chrom, part, res.error)
             cands.extend(res.candidates)
         if warmup_thread is not None:
             warmup_thread.join()
@@ -109,13 +128,21 @@ def run_shard(options, shard_id: int, num_shards: int) -> List[str]:
 
 
 def merge_all(options, chrom_order: Sequence[str]) -> str:
-    """Host-0 merge across all shards' fragments (shared filesystem)."""
+    """Host-0 merge across all shards' fragments (shared filesystem).
+
+    Runs in ONE process only, so it must not enter any collective: the
+    score min/max comes from the shared-dir scan, which covers every
+    shard's fragments. Mirrors the reference's empty-score abort
+    (SVision:330-334) instead of emitting a header-only VCF with exit 0."""
     from svision_tpu.call.vcfout import cal_scores_max_min, merge_split_vcfs
     from svision_tpu.io.fasta import FastaFile
 
     predict_dir = os.path.join(options.out_path, "predict_results")
-    scores = np.asarray(cal_scores_max_min(predict_dir))
-    mn, mx = exchange_score_minmax(scores)
+    scores = cal_scores_max_min(predict_dir)
+    if not len(scores):
+        print("Empty output in the score file!!! Program exit")
+        raise SystemExit(1)
+    mn, mx = float(np.min(scores)), float(np.max(scores))
     merged = os.path.join(
         options.out_path,
         f"{options.sample}.svision.s{options.min_support}.vcf")

@@ -74,7 +74,66 @@ def test_cohort_shard_invariance(cohort_ws, tmp_path):
 
     opts2 = _opts(cohort_ws, tmp_path / "two")
     os.makedirs(opts2.out_path, exist_ok=True)
-    cohort_mod.run_cohort_shard(cohort_ws["bams"], opts2, 1, 2)
+    # per-process entry point for each shard (shard 1 drops its barrier
+    # done-file and returns ""; shard 0 then passes the barrier and merges)
+    assert cohort_mod.run_cohort(cohort_ws["bams"], opts2, num_shards=2,
+                                 shard_id=1) == ""
     v2 = cohort_mod.run_cohort(cohort_ws["bams"], opts2, num_shards=2,
                                shard_id=0)
     assert _records(v1) == _records(v2)
+
+
+def test_cohort_merge_contig_order(cohort_ws, tmp_path):
+    """Cohort records follow header contig order, not lexicographic
+    (chr2 before chr10), so tabix/bcftools accept the file."""
+    from svision_tpu.io.fasta import write_fasta, FastaFile
+    genome = str(tmp_path / "ref2.fa")
+    write_fasta(genome, {"chr2": "ACGT" * 300, "chr10": "ACGT" * 300})
+    v = str(tmp_path / "a.vcf")
+    with open(v, "w") as fh:
+        fh.write("##fileformat=VCFv4.3\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\t"
+                 "FILTER\tINFO\tFORMAT\tA\n")
+        fh.write("chr10\t100\t0\tN\t<SV>\t90\tPASS\t"
+                 "END=200;SVLEN=100;SVTYPE=DEL\tGT:DR:DV\t0/1:3:5\n")
+        fh.write("chr2\t100\t1\tN\t<SV>\t90\tPASS\t"
+                 "END=200;SVLEN=100;SVTYPE=DEL\tGT:DR:DV\t0/1:3:5\n")
+    opts = _opts(cohort_ws, tmp_path)
+    out = cohort_mod.merge_cohort_vcfs({"A": v}, str(tmp_path / "m.vcf"),
+                                       opts, ref=FastaFile(genome))
+    recs = _records(out)
+    assert [r[0] for r in recs] == ["chr2", "chr10"]
+
+
+def test_merge_all_empty_scores_aborts(cohort_ws, tmp_path):
+    """Header-only merges are an error, like the reference's
+    'Empty output in the score file' abort (SVision:330-334)."""
+    from svision_tpu.parallel.dist import merge_all
+    opts = _opts(cohort_ws, tmp_path / "empty")
+    os.makedirs(os.path.join(opts.out_path, "predict_results"), exist_ok=True)
+    with pytest.raises(SystemExit):
+        merge_all(opts, ["chr1"])
+
+
+def test_cohort_two_process_cli(cohort_ws, tmp_path):
+    """The documented multi-process launch: two independent CLI processes,
+    concurrent, over a shared out dir. Regression for the review findings
+    that the merge barrier never engaged / deadlocked on a one-sided
+    collective."""
+    import subprocess, sys
+    out = str(tmp_path / "mp")
+    os.makedirs(out, exist_ok=True)
+    args = [sys.executable, "-m", "svision_tpu.parallel.cohort",
+            "-o", out, "-g", cohort_ws["genome"], "-m", cohort_ws["weights"],
+            "--samples"] + [f"{n}={p}" for n, p in cohort_ws["bams"].items()] \
+        + ["-s", "3", "--batch_size", "32", "--num-shards", "2"]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    procs = [subprocess.Popen(args + ["--shard-id", str(k)], env=env,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for k in (0, 1)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-2000:]
+    merged = os.path.join(out, "cohort.svision.s3.vcf")
+    assert os.path.exists(merged)
+    assert _records(merged), "cohort VCF empty"
