@@ -155,7 +155,11 @@ def build_task_list(bam: BamReader, ref: FastaFile, options: Options
     all_possible_chrs = ref.references
 
     if options.chrom is None:
-        for chrom, mapped, _unmapped in bam.get_index_statistics():
+        # reference parity: every indexed contig is windowed, with no
+        # mapped-count filter (SVision:172-177 iterates ref_info without
+        # checking ele[1]); refs absent from the index entirely are already
+        # dropped by get_index_statistics
+        for chrom, _mapped, _unmapped in bam.get_index_statistics():
             if chrom not in all_possible_chrs:
                 continue
             local_len = bam.get_reference_length(chrom)
@@ -266,7 +270,20 @@ def run_pipeline(options: Options) -> str:
     resume_cache = options.resume and cache_valid(segments_dir, options)
     if options.resume and not resume_cache and os.path.isdir(segments_dir):
         logging.warning("--resume: cached beds were produced with different "
-                        "collection parameters; recomputing all windows")
+                        "collection parameters or inputs; recomputing all "
+                        "windows")
+    dump_beds = options.debug or options.resume
+    if dump_beds and not cache_valid(segments_dir, options):
+        # Beds from a different configuration/input must not survive next to
+        # the fresh sidecar: a partial overwrite (--debug with new params, a
+        # region-mode run) would otherwise poison a later --resume.
+        if os.path.isdir(segments_dir):
+            for f in os.listdir(segments_dir):
+                if f.endswith(".bed") or f == ".collect_params.json":
+                    os.remove(os.path.join(segments_dir, f))
+        # sidecar first, then beds land incrementally under it — everything
+        # below it is always described by it (dump_bed skips errored windows)
+        write_cache_params(segments_dir, options)
 
     def start_chrom(chrom: str, pool):
         """Submit (or inline-defer) a chromosome's windows; returns a list of
@@ -359,6 +376,10 @@ def run_pipeline(options: Options) -> str:
                 with metrics.timer("collect"):
                     chrom_results = resolve_chrom(items)
                 results.extend(chrom_results)
+                if dump_beds:
+                    # incremental: a crash mid-run keeps every finished
+                    # chromosome's beds for --resume (dump is per-part atomic)
+                    dump_bed(chrom_results, segments_dir)
                 cands = []
                 for res in sorted(chrom_results, key=lambda r: r.part):
                     cands.extend(res.candidates)
@@ -381,14 +402,9 @@ def run_pipeline(options: Options) -> str:
     for r in failures:
         logging.error("window %s part %s failed: %s", r.chrom, r.part, r.error)
 
-    if options.debug or options.resume:
-        dump_bed(results, segments_dir)
-        if options.resume:
-            write_cache_params(segments_dir, options)
-
     t_predict = datetime.datetime.now()
     logging.info("[Prediction finished] Cost time: %s",
-                 (t_predict - start_time).seconds)
+                 int((t_predict - start_time).total_seconds()))
     metrics.count("windows", len(results))
     metrics.count("windows_failed", len(failures))
     metrics.count("signatures", sum(r.n_signatures for r in results))
@@ -451,7 +467,7 @@ def run_pipeline(options: Options) -> str:
 
     t_final = datetime.datetime.now()
     logging.info("[All steps finished] Total Cost time: %ss",
-                 (t_final - start_time).seconds)
+                 int((t_final - start_time).total_seconds()))
     return final_vcf
 
 

@@ -46,10 +46,13 @@ def qname_hashes(batch) -> np.ndarray:
         starts.astype(np.uint64), lens)
     with np.errstate(over="ignore"):
         terms = buf * np.power(_FNV_PRIME, pos)          # wraps mod 2^64
-        # reduceat needs every start < buf.size; qnames are never empty in a
-        # valid BAM, but guard the degenerate all-empty tail anyway
-        idx = np.minimum(starts, buf.size - 1)
-        sums = np.add.reduceat(terms, idx)
+        # reduceat needs every index < len(terms); an empty trailing qname
+        # has start == buf.size, and clamping it would silently truncate the
+        # PREVIOUS record's hash (splitting its qname group). A zero sentinel
+        # keeps every boundary valid without perturbing any sum; empty-qname
+        # records (invalid BAM, reduceat returns the element at the boundary
+        # for an empty segment) are zeroed explicitly.
+        sums = np.add.reduceat(np.append(terms, np.uint64(0)), starts)
         sums[lens == 0] = 0
         return sums ^ lens.astype(np.uint64)
 

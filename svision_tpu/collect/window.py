@@ -136,12 +136,26 @@ _COLLECT_KEYS = ("min_support", "min_mapq", "min_sv_size", "max_sv_size",
                  "k_size", "min_accept", "max_hash_len")
 
 
+def _input_stamp(path: str):
+    """(path, size, mtime_ns) identity of an input file; candidates cached
+    from a different or modified BAM/reference must never be reused."""
+    try:
+        st = os.stat(path)
+        return [path, st.st_size, st.st_mtime_ns]
+    except OSError:
+        return [path, -1, -1]
+
+
 def collect_signature(options) -> str:
-    """Canonical string of every option that affects candidate emission —
-    the --resume cache key."""
+    """Canonical string of every option AND input that affects candidate
+    emission — the --resume cache key. Includes the BAM and reference
+    identities (path + size + mtime): same parameters over different
+    inputs are different caches."""
     import json
-    return json.dumps({k: getattr(options, k) for k in _COLLECT_KEYS},
-                      sort_keys=True)
+    key = {k: getattr(options, k) for k in _COLLECT_KEYS}
+    key["bam"] = _input_stamp(options.bam_path)
+    key["genome"] = _input_stamp(options.genome)
+    return json.dumps(key, sort_keys=True)
 
 
 def cache_valid(out_dir: str, options) -> bool:

@@ -89,13 +89,18 @@ def score_calls(calls: Sequence[Dict],
             stats["fn"] += 1
     fp = sum(1 for u in used if not u)
     fn = len(truth) - tp
-    precision = tp / (tp + fp) if tp + fp else 0.0
+    # units must not mix: recall is event-level (matched truth events /
+    # truth events); precision is call-level (truth-supporting calls /
+    # calls) — a compound event matched by two adjacent simple records
+    # contributes two supporting calls, not one event against two units
+    tp_calls = sum(1 for u in used if u)
+    precision = tp_calls / len(calls) if calls else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = (2 * precision * recall / (precision + recall)
           if precision + recall else 0.0)
-    return dict(per_type=per_type, tp=tp, fp=fp, fn=fn,
-                precision=round(precision, 4), recall=round(recall, 4),
-                f1=round(f1, 4))
+    return dict(per_type=per_type, tp=tp, fp=fp, fn=fn, tp_calls=tp_calls,
+                n_calls=len(calls), precision=round(precision, 4),
+                recall=round(recall, 4), f1=round(f1, 4))
 
 
 def score_vcf(vcf_path: str, truth, tol: int = 1000):

@@ -149,6 +149,10 @@ def fit(params: Params, specs, labels, *, epochs: int = 3,
     nprng = np.random.RandomState(seed)
 
     n = len(labels)
+    if n < batch_size:
+        raise ValueError(f"need at least batch_size={batch_size} examples, "
+                         f"got {n} — zero steps would silently return the "
+                         "initial params")
     specs = np.asarray(specs)
     labels = np.asarray(labels, np.int32)
     history = []

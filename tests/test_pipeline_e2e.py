@@ -215,3 +215,43 @@ def test_graph_mode_with_complex_events(tmp_path):
     assert vcf.endswith(".graph.vcf") and os.path.exists(vcf)
     recs = _records(vcf)
     assert recs, "complex events must produce calls"
+
+
+def test_resume_cache_invalidated_by_different_bam(workspace, tmp_path):
+    """--resume must not serve cached candidates when the input BAM
+    changed (review finding: the cache key omitted input identity)."""
+    from svision_tpu.collect.window import cache_valid
+    import dataclasses
+
+    outdir = str(tmp_path / "ri")
+    _run(workspace, outdir, extra=["--resume"])
+    seg_dir = os.path.join(outdir, "segments")
+    opts = parse_arguments(["-o", outdir, "-b", workspace["bam"],
+                            "-g", workspace["genome"],
+                            "-m", workspace["weights"], "-n", "synthsample",
+                            "-s", "3", "--batch_size", "32", "--resume"])
+    assert cache_valid(seg_dir, opts)
+    other_bam = str(tmp_path / "other.bam")
+    import shutil
+    shutil.copy(workspace["bam"], other_bam)
+    opts2 = dataclasses.replace(opts, bam_path=other_bam)
+    assert not cache_valid(seg_dir, opts2)
+
+
+def test_debug_dump_updates_cache_sidecar(workspace, tmp_path):
+    """A --debug run (without --resume) rewrites the beds; the sidecar must
+    follow them or a later --resume with the old params reads poisoned
+    beds (review finding)."""
+    from svision_tpu.collect.window import cache_valid
+    outdir = str(tmp_path / "dbg")
+    _run(workspace, outdir, extra=["--resume"])
+    seg_dir = os.path.join(outdir, "segments")
+    opts_resume = parse_arguments(
+        ["-o", outdir, "-b", workspace["bam"], "-g", workspace["genome"],
+         "-m", workspace["weights"], "-n", "synthsample", "-s", "3",
+         "--batch_size", "32", "--resume"])
+    assert cache_valid(seg_dir, opts_resume)
+    # debug run with different collection params overwrites the beds...
+    _run(workspace, outdir, extra=["--debug", "--min_sv_size", "60"])
+    # ...and the sidecar now reflects THOSE params, not the stale ones
+    assert not cache_valid(seg_dir, opts_resume)

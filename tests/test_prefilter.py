@@ -107,3 +107,19 @@ def test_mask_contig_mode_mapq(ws):
     names = [b.qname(i) for i in range(b.n)]
     kept = {names[i] for i in np.nonzero(keep0)[0]}
     assert any(n.startswith("lowmq") for n in kept)
+
+
+def test_hash_empty_trailing_qname():
+    """An empty trailing qname must not corrupt the PREVIOUS record's hash
+    (review finding: the old buf.size-1 clamp truncated its last byte,
+    splitting the qname group)."""
+    import numpy as np
+
+    class FakeBatch:
+        n = 3
+        qname_buf = b"ABAB"
+        qname_off = np.array([0, 2, 4, 4], np.int64)  # "AB", "AB", ""
+
+    h = qname_hashes(FakeBatch())
+    assert h[0] == h[1], "identical qnames must hash identically"
+    assert h[2] == np.uint64(0)
