@@ -20,6 +20,7 @@ Differences by design:
 from __future__ import annotations
 
 import html.parser
+import logging
 import os
 import re
 from typing import Dict, List, Optional, Tuple, Union
@@ -309,12 +310,39 @@ def annotate_mechanisms(merged_vcf_path: str, out_dir: str, options,
                 fa_path = os.path.join(out_dir, f"{sv_region}.fa")
                 with open(fa_path, "w") as fa:
                     fa.write(f">{sv_region}\n{ref.fetch(chrom, pos, end)}\n")
+                # subprocess with status checks, not os.system: a failing
+                # annotator (missing repeat library, bad install) must be
+                # visible, or every record silently keeps its original
+                # mechanism and "no repeats" is indistinguishable from
+                # "annotator never ran". Argument lists also survive paths
+                # with spaces.
+                import subprocess
+                log = logging.getLogger(__name__)
                 if rpmask_bin:
-                    os.system(f"{rpmask_bin} -species human -gff "
-                              f"-dir {rpmask_dir} {fa_path} > /dev/null 2>&1")
+                    r = subprocess.run(
+                        [rpmask_bin, "-species", "human", "-gff",
+                         "-dir", rpmask_dir, fa_path],
+                        capture_output=True, text=True)
+                    if r.returncode != 0:
+                        log.warning("RepeatMasker failed on %s (exit %d): %s",
+                                    sv_region, r.returncode,
+                                    (r.stderr or r.stdout).strip()[-500:])
                 if trf_bin:
-                    os.system(f"cd {trf_dir} && {trf_bin} {fa_path} "
-                              "2 7 7 80 10 50 500 -f -d -m > /dev/null 2>&1")
+                    # TRF exits nonzero by design (returns the repeat count
+                    # on some versions); treat a missing output file as the
+                    # failure signal instead
+                    r = subprocess.run(
+                        [trf_bin, fa_path, "2", "7", "7", "80", "10", "50",
+                         "500", "-f", "-d", "-m"],
+                        cwd=trf_dir, capture_output=True, text=True)
+                    produced = any(
+                        f.startswith(os.path.basename(fa_path))
+                        and f.endswith(".html")
+                        for f in os.listdir(trf_dir))
+                    if not produced:
+                        log.warning("TRF produced no report for %s "
+                                    "(exit %d): %s", sv_region, r.returncode,
+                                    (r.stderr or r.stdout).strip()[-500:])
 
             new_mech = annotate_record_mechanism(chrom, pos, end, mech,
                                                  rpmask_dir, trf_dir)

@@ -23,14 +23,23 @@ def read_block(fh: BinaryIO) -> Tuple[bytes, int]:
     """Read one BGZF block at the current offset.
 
     Returns (inflated payload, compressed block size). Empty payload + size 0
-    at EOF."""
+    at clean EOF (zero bytes available). A PARTIAL block — header, extra
+    field, cdata, or trailer cut short — raises instead of masquerading as
+    EOF, so a truncated BAM (interrupted copy, writer killed before close)
+    cannot silently pass as complete (htslib parity: 'EOF marker is
+    absent' / 'truncated file'). Block CRC32 is verified: raw DEFLATE has
+    no internal checksum, so this is the only corruption gate."""
     header = fh.read(12)
-    if len(header) < 12:
+    if not header:
         return b"", 0
+    if len(header) < 12:
+        raise ValueError("truncated BGZF block header")
     id1, id2, cm, flg, _mtime, _xfl, _os, xlen = _HDR.unpack(header)
     if id1 != 0x1F or id2 != 0x8B or cm != 8 or not (flg & 4):
         raise ValueError("not a BGZF block")
     extra = fh.read(xlen)
+    if len(extra) < xlen:
+        raise ValueError("truncated BGZF extra field")
     bsize = None
     pos = 0
     while pos + 4 <= xlen:
@@ -40,12 +49,17 @@ def read_block(fh: BinaryIO) -> Tuple[bytes, int]:
         pos += 4 + slen
     if bsize is None:
         raise ValueError("BGZF BC subfield missing")
-    cdata = fh.read(bsize - 12 - xlen - 8)
+    cdata_len = bsize - 12 - xlen - 8
+    cdata = fh.read(cdata_len)
     crc_isize = fh.read(8)
+    if len(cdata) < cdata_len or len(crc_isize) < 8:
+        raise ValueError("truncated BGZF block (file cut short?)")
     data = zlib.decompress(cdata, wbits=-15)
-    isize = struct.unpack("<I", crc_isize[4:])[0]
+    crc, isize = struct.unpack("<II", crc_isize)
     if len(data) != isize:
         raise ValueError("BGZF ISIZE mismatch")
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
+        raise ValueError("BGZF block CRC mismatch (corrupt data)")
     return data, bsize
 
 
@@ -94,6 +108,12 @@ class BgzfReader:
         while n > 0:
             if self._block_start < 0:
                 self._load_block(0)
+            if self._within > len(self._block):
+                # a virtual offset pointing past the block's payload can only
+                # come from an index that does not match this file
+                raise ValueError(
+                    f"virtual offset {self._within} beyond block payload "
+                    f"({len(self._block)} bytes) — stale .bai/.csi index?")
             avail = len(self._block) - self._within
             if avail == 0:
                 nxt = self._block_start + self._block_csize

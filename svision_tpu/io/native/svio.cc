@@ -83,6 +83,18 @@ struct PrefetchItem {
   std::future<bool> ready;                        // false = decode failed
 };
 
+// CRC verification of every inflated block (raw DEFLATE has no internal
+// checksum; htslib always checks). SVIO_SKIP_CRC=1 opts out for trusted
+// local data where the ~2 GB/s crc32 pass matters.
+static bool check_crc_enabled() {
+  static int enabled = -1;
+  if (enabled < 0) {
+    const char* e = getenv("SVIO_SKIP_CRC");
+    enabled = (e && e[0] == '1') ? 0 : 1;
+  }
+  return enabled == 1;
+}
+
 struct BgzfCursor {
   FILE* fp = nullptr;
   int64_t block_coffset = -1;   // compressed offset of loaded block
@@ -90,6 +102,11 @@ struct BgzfCursor {
   std::vector<uint8_t> block;   // inflated payload
   std::vector<uint8_t> cdata;   // compressed payload (reused across blocks)
   size_t within = 0;            // cursor inside block
+  // set when decode hits corruption or truncation (vs clean EOF): a
+  // CRC/inflate failure, a partial block header, or a short mid-block
+  // read. Surfaced through SvioResult so Python can raise instead of
+  // silently treating a cut-short BAM as complete.
+  bool corrupt = false;
 
   // block-parallel prefetch (nullptr pool = serial mode). The reader
   // thread stages compressed blocks sequentially into `ring`; pool workers
@@ -121,14 +138,21 @@ struct BgzfCursor {
       return false;
     }
     uint8_t hdr[12];
-    if (fread(hdr, 1, 12, fp) != 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) {
+    size_t got = fread(hdr, 1, 12, fp);
+    if (got == 0) {            // clean EOF at a block boundary
       stage_eof = true;
+      return false;
+    }
+    if (got != 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) {
+      stage_eof = true;
+      corrupt = true;          // partial/garbled header = truncated file
       return false;
     }
     uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
     std::vector<uint8_t> extra(xlen);
     if (fread(extra.data(), 1, xlen, fp) != xlen) {
       stage_eof = true;
+      corrupt = true;
       return false;
     }
     int bsize = -1;
@@ -140,20 +164,24 @@ struct BgzfCursor {
     }
     if (bsize < 0) {
       stage_eof = true;
+      corrupt = true;
       return false;
     }
     int cdata_len = bsize - 12 - xlen - 8;
     auto comp = std::make_shared<std::vector<uint8_t>>(cdata_len + 8, 0);
     if (fread(comp->data(), 1, cdata_len, fp) != (size_t)cdata_len) {
       stage_eof = true;
+      corrupt = true;
       return false;
     }
     uint8_t tail[8];
     if (fread(tail, 1, 8, fp) != 8) {
       stage_eof = true;
+      corrupt = true;
       return false;
     }
-    uint32_t isize;
+    uint32_t crc_expect, isize;
+    memcpy(&crc_expect, tail, 4);
     memcpy(&isize, tail + 4, 4);
 
     PrefetchItem item;
@@ -162,7 +190,7 @@ struct BgzfCursor {
     item.payload = std::make_shared<std::vector<uint8_t>>();
     auto payload = item.payload;
     auto task = std::make_shared<std::packaged_task<bool()>>(
-        [comp, payload, cdata_len, isize]() -> bool {
+        [comp, payload, cdata_len, isize, crc_expect]() -> bool {
           payload->resize(isize + 16);
           if (isize > 0 && svio_inflate(comp->data(), cdata_len,
                                         payload->data(), isize) != 0) {
@@ -177,6 +205,9 @@ struct BgzfCursor {
             inflateEnd(&zs);
             if (rc != Z_STREAM_END) return false;
           }
+          if (check_crc_enabled() &&
+              (uint32_t)crc32(0L, payload->data(), isize) != crc_expect)
+            return false;
           payload->resize(isize);
           return true;
         });
@@ -201,7 +232,10 @@ struct BgzfCursor {
     if (ring.empty() || ring.front().coffset != coffset) return false;
     PrefetchItem item = std::move(ring.front());
     ring.pop_front();
-    if (!item.ready.get()) return false;
+    if (!item.ready.get()) {
+      corrupt = true;   // inflate or CRC failure in the worker
+      return false;
+    }
     block = std::move(*item.payload);
     block_coffset = coffset;
     next_coffset = item.next_coffset;
@@ -213,11 +247,18 @@ struct BgzfCursor {
     if (coffset == block_coffset) return true;
     if (fseeko(fp, coffset, SEEK_SET) != 0) return false;
     uint8_t hdr[12];
-    if (fread(hdr, 1, 12, fp) != 12) return false;
-    if (hdr[0] != 0x1f || hdr[1] != 0x8b) return false;
+    size_t got = fread(hdr, 1, 12, fp);
+    if (got == 0) return false;  // clean EOF at a block boundary
+    if (got != 12 || hdr[0] != 0x1f || hdr[1] != 0x8b) {
+      corrupt = true;
+      return false;
+    }
     uint16_t xlen = (uint16_t)(hdr[10] | (hdr[11] << 8));
     std::vector<uint8_t> extra(xlen);
-    if (fread(extra.data(), 1, xlen, fp) != xlen) return false;
+    if (fread(extra.data(), 1, xlen, fp) != xlen) {
+      corrupt = true;
+      return false;
+    }
     int bsize = -1;
     for (size_t p = 0; p + 4 <= extra.size();) {
       uint8_t si1 = extra[p], si2 = extra[p + 1];
@@ -226,15 +267,25 @@ struct BgzfCursor {
         bsize = (extra[p + 4] | (extra[p + 5] << 8)) + 1;
       p += 4 + slen;
     }
-    if (bsize < 0) return false;
+    if (bsize < 0) {
+      corrupt = true;
+      return false;
+    }
     int cdata_len = bsize - 12 - xlen - 8;
     // 8 bytes of zeroed slack past the payload: the fast decoder's bit
     // buffer and word-copy are allowed to touch (not consume) them
     cdata.assign(cdata_len + 8, 0);
-    if (fread(cdata.data(), 1, cdata_len, fp) != (size_t)cdata_len) return false;
+    if (fread(cdata.data(), 1, cdata_len, fp) != (size_t)cdata_len) {
+      corrupt = true;
+      return false;
+    }
     uint8_t tail[8];
-    if (fread(tail, 1, 8, fp) != 8) return false;
-    uint32_t isize;
+    if (fread(tail, 1, 8, fp) != 8) {
+      corrupt = true;
+      return false;
+    }
+    uint32_t crc_expect, isize;
+    memcpy(&crc_expect, tail, 4);
     memcpy(&isize, tail + 4, 4);
 
     block.resize(isize + 16);  // 16 bytes of output slack (see inflate.cc)
@@ -251,7 +302,15 @@ struct BgzfCursor {
       zs.avail_out = isize;
       int rc = inflate(&zs, Z_FINISH);
       inflateEnd(&zs);
-      if (rc != Z_STREAM_END) return false;
+      if (rc != Z_STREAM_END) {
+        corrupt = true;
+        return false;
+      }
+    }
+    if (check_crc_enabled() &&
+        (uint32_t)crc32(0L, block.data(), isize) != crc_expect) {
+      corrupt = true;
+      return false;
     }
     block.resize(isize);
     block_coffset = coffset;
@@ -444,6 +503,10 @@ extern "C" {
 struct SvioResult {
   Batch batch;
   int64_t count = 0;
+  // 0 ok; 1 corrupt/truncated block or record cut short mid-stream. The
+  // Python wrapper raises on nonzero instead of treating partial data as a
+  // complete fetch.
+  int error = 0;
 };
 
 // Fetch records from BAI chunk list (or full scan from voffset0 when
@@ -500,9 +563,16 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
     uint8_t szb[4];
     while (true) {
       if (bounded && cur.tell_virtual() >= vend_limit) break;
-      if (cur.read(szb, 4) != 4) break;
+      size_t got = cur.read(szb, 4);
+      if (got != 4) {
+        if (got != 0) cur.corrupt = true;  // record length cut short
+        break;
+      }
       int32_t size = rd_i32(szb);
-      if (size <= 0 || size > (1 << 28)) break;
+      if (size <= 0 || size > (1 << 28)) {
+        cur.corrupt = true;  // garbage length = desynced/corrupt stream
+        break;
+      }
       const uint8_t* payload;
       if (cur.block.size() - cur.within >= (size_t)size) {
         // record fully inside the loaded block: parse in place, no copy
@@ -510,7 +580,10 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
         cur.within += size;
       } else {
         rec.resize(size);
-        if (cur.read(rec.data(), size) != (size_t)size) break;
+        if (cur.read(rec.data(), size) != (size_t)size) {
+          cur.corrupt = true;  // record body cut short mid-stream
+          break;
+        }
         payload = rec.data();
       }
       int rc = parse_record(payload, size, tid, start, end,
@@ -526,11 +599,13 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
   } else {
     scan_range(voffset0, 0, false);
   }
+  if (cur.corrupt) res->error = 1;
   fclose(fp);
   return res;
 }
 
 int64_t svio_result_count(SvioResult* r) { return r->count; }
+int svio_result_error(SvioResult* r) { return r->error; }
 
 // Array accessors (valid until svio_result_free)
 int32_t* svio_refid(SvioResult* r) { return r->batch.refid.data(); }

@@ -51,6 +51,8 @@ def _load():
         ctypes.c_int, ctypes.c_int]
     lib.svio_result_count.restype = ctypes.c_int64
     lib.svio_result_count.argtypes = [ctypes.c_void_p]
+    lib.svio_result_error.restype = ctypes.c_int
+    lib.svio_result_error.argtypes = [ctypes.c_void_p]
     for name, ctype in [
             ("svio_refid", ctypes.POINTER(ctypes.c_int32)),
             ("svio_pos", ctypes.POINTER(ctypes.c_int32)),
@@ -190,6 +192,10 @@ def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
                          decode_threads())
     if not res:
         raise OSError(f"svio_fetch failed for {bam_path}")
+    if lib.svio_result_error(res):
+        lib.svio_result_free(res)
+        raise OSError(f"{bam_path}: corrupt or truncated BGZF/BAM data "
+                      "(CRC mismatch, partial block, or record cut short)")
     count = lib.svio_result_count(res)
     if count_only:
         lib.svio_result_free(res)

@@ -12,6 +12,8 @@ the published svision-cnn-model.ckpt.
 
 from __future__ import annotations
 
+import glob
+import logging
 import os
 from typing import Dict
 
@@ -56,8 +58,18 @@ def load_params(path: str) -> Dict[str, np.ndarray]:
             return {k: z[k] for k in z.files}
     npz_cache = path + ".npz"
     if os.path.exists(npz_cache):
-        with np.load(npz_cache) as z:
-            return {k: z[k] for k in z.files}
+        # freshness gate: a ckpt retrained in place must not silently serve
+        # the stale converted cache
+        cache_mtime = os.path.getmtime(npz_cache)
+        ckpt_mtime = max((os.path.getmtime(f) for f in
+                          glob.glob(path + ".*") if not f.endswith(".npz")),
+                         default=0.0)
+        if ckpt_mtime <= cache_mtime:
+            with np.load(npz_cache) as z:
+                return {k: z[k] for k in z.files}
+        logging.getLogger(__name__).info(
+            "checkpoint %s is newer than cached %s; reconverting",
+            path, npz_cache)
     params = convert_tf1_checkpoint(path)
     try:
         save_params(params, npz_cache)

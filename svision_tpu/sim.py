@@ -156,11 +156,23 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
     flank = 2000
     for ei, (kind, ch, anchor, size) in enumerate(events):
         glen = len(genome_seq[ch])
-        if anchor - 2 * flank < 0 or anchor + size + 2 * flank > glen:
+        # per-kind read extents (incl. the ±12 bp anchor jitter): DUP reads
+        # a source locus size+300 bp upstream, INV+DEL's tail resumes
+        # dl=max(60,size//2) bp past the inverted segment — a generic
+        # 2*flank margin silently yielded SEQ/CIGAR-inconsistent records
+        # for large events of those kinds (review finding)
+        jmax = 12
+        lo = anchor - 2 * flank - jmax
+        hi = anchor + size + 2 * flank + jmax
+        if kind == "DUP":
+            lo = min(lo, anchor - jmax - (size + 300))
+        elif kind == "INV+DEL":
+            hi = max(hi, anchor + jmax + size + max(60, size // 2) + flank)
+        if lo < 0 or hi > glen:
             raise ValueError(
                 f"event {kind}@{ch}:{anchor} size {size} does not fit in the "
-                f"{glen} bp genome with {flank} bp flanks — reads would "
-                "carry truncated sequence")
+                f"{glen} bp genome (needs [{lo}, {hi}) with {flank} bp "
+                "flanks) — reads would carry truncated sequence")
         for s in range(support):
             q = f"sv{ei}_{s}"
             jitter = rng.randint(-12, 12)

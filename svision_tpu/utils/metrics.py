@@ -50,4 +50,3 @@ class Metrics:
                            "timers": dict(self.timers)})
 
 
-GLOBAL = Metrics()

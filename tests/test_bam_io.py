@@ -337,3 +337,53 @@ def test_fai_autobuild_blank_line_rules(tmp_path):
     assert fa.fetch("c1") == "ACGT"
     assert fa.fetch("c2") == "GGGG"
     fa.close()
+
+
+def test_truncated_bam_raises(tmp_path):
+    """A BAM cut short must raise, not silently pass as complete
+    (review finding: truncation looked like clean EOF)."""
+    rng = random.Random(17)
+    recs = _mk_reads(rng, 150)
+    p = str(tmp_path / "t.bam")
+    write_bam(p, [("chr1", 1000000)], recs, write_index=False)
+    data = open(p, "rb").read()
+    cut = str(tmp_path / "cut.bam")
+    with open(cut, "wb") as fh:
+        fh.write(data[:len(data) // 2 + 7])  # mid-block cut
+    with BamReader(cut) as bam:
+        with pytest.raises((ValueError, OSError)):
+            for _ in bam.fetch("chr1", 0, 1000000):
+                pass
+
+
+def test_corrupt_block_crc_raises(tmp_path):
+    """A bit-flip inside a block's DEFLATE payload that still inflates to
+    the right size is caught by the CRC gate."""
+    import zlib as _zlib
+    rng = random.Random(18)
+    recs = _mk_reads(rng, 150)
+    p = str(tmp_path / "c.bam")
+    write_bam(p, [("chr1", 1000000)], recs, write_index=False)
+    data = bytearray(open(p, "rb").read())
+    # flip one byte inside the stored CRC of a mid-file block: the payload
+    # inflates cleanly but the checksum can no longer match
+    from svision_tpu.io.bgzf import read_block
+    import io as _io
+    fh = _io.BytesIO(bytes(data))
+    offs = []
+    while True:
+        off = fh.tell()
+        blk, csize = read_block(fh)
+        if csize == 0:
+            break
+        offs.append((off, csize, len(blk)))
+    off, csize, isize = offs[len(offs) // 2]
+    assert isize > 0
+    crc_pos = off + csize - 8  # trailer: crc32 then isize
+    data[crc_pos] ^= 0xFF
+    bad = str(tmp_path / "bad.bam")
+    open(bad, "wb").write(bytes(data))
+    with BamReader(bad) as bam:
+        with pytest.raises((ValueError, OSError)):
+            for _ in bam.fetch("chr1", 0, 1000000):
+                pass
