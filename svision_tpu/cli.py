@@ -76,6 +76,10 @@ def parse_arguments(arguments=None) -> Options:
                      help="Activate contig mode")
     opt.add_argument("--debug", action="store_true", default=False,
                      help="Activate debug mode and keep intermedia outputs")
+    opt.add_argument("--bgzip", action="store_true", default=False,
+                     help="bgzip-compress the final VCF and write a tabix "
+                     ".tbi index (first-party; equivalent to "
+                     "'bgzip f.vcf && tabix -p vcf f.vcf.gz')")
     opt.add_argument("--resume", action="store_true", default=False,
                      help="Cache per-window candidate beds under "
                      "<out>/segments and reuse them on rerun (the reference "
@@ -235,7 +239,12 @@ def run_pipeline(options: Options) -> str:
         ref = FastaFile(options.genome)
         chrom_order = list(build_task_list(bam, ref, options))
         if options.merge_shards:
-            return dist.merge_all(options, chrom_order)
+            merged = dist.merge_all(options, chrom_order)
+            if options.bgzip:
+                from svision_tpu.io.tabix import bgzip_vcf
+                merged, tbi = bgzip_vcf(merged)
+                logging.info("bgzipped + indexed: %s (%s)", merged, tbi)
+            return merged
         handled = dist.run_shard(options, options.shard_id,
                                  options.num_shards)
         logging.info("shard %d/%d finished chromosomes: %s",
@@ -461,6 +470,12 @@ def run_pipeline(options: Options) -> str:
                                      cluster_out_file)
         logging.info("Clustered callset written to %s (%s merged clusters)",
                      cluster_out_file, n)
+
+    if options.bgzip:
+        from svision_tpu.io.tabix import bgzip_vcf
+        gz, tbi = bgzip_vcf(final_vcf)
+        logging.info("bgzipped + indexed: %s (%s)", gz, tbi)
+        final_vcf = gz
 
     if not options.debug:
         shutil.rmtree(predict_results_dir, ignore_errors=True)

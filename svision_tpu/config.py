@@ -61,6 +61,8 @@ class Options:
     bf16: bool = True
     # Cache per-window candidate beds and reuse them on rerun.
     resume: bool = False
+    # bgzip-compress the final VCF and write a tabix .tbi (io/tabix.py).
+    bgzip: bool = False
     # jax.profiler trace directory for the prediction stage.
     profile_dir: Optional[str] = None
     # Persistent XLA compilation cache dir (None -> default; 'none' off).
