@@ -362,6 +362,94 @@ def graph_is_same_as(g1: Graph, g2: Graph, strict=False, symmetry=False) -> bool
     return True
 
 
+class ExactMatcher:
+    """Insertion-ordered exact-match classes with an O(1) path index.
+
+    The reference scans every existing base per new graph
+    (graph.py:624-643); since strict matching *requires* edge-path string
+    equality (graph_is_same_as), candidates are exactly the bases sharing
+    the path string — the index keys on it and only the (cheap, asymmetric)
+    count check runs per candidate. GraphID numbering and class membership
+    are identical to the linear scan: within a path bucket, insertion order
+    is preserved and the first passing base wins, which is the same base the
+    reference's full scan would reach first.
+    """
+
+    def __init__(self):
+        self.classes: Dict[str, List[str]] = {}     # base name -> members
+        self._graphs: Dict[str, Graph] = {}          # base name -> graph
+        self._ids: Dict[str, int] = {}               # base name -> GraphID
+        self._by_path: Dict[str, List[str]] = {}     # path -> base names
+
+    def add(self, name: str, graph: Graph) -> int:
+        """Classify `graph`; returns its GraphID (the matched base's index
+        in insertion order, or a fresh one)."""
+        path = _edges_path(graph.edges)
+        for base in self._by_path.get(path, ()):
+            if graph_is_same_as(graph, self._graphs[base], strict=True):
+                self.classes[base].append(name)
+                return self._ids[base]
+        gid = len(self.classes)
+        self.classes[name] = [name]
+        self._graphs[name] = graph
+        self._ids[name] = gid
+        self._by_path.setdefault(path, []).append(name)
+        return gid
+
+    def graph(self, name: str) -> Graph:
+        return self._graphs[name]
+
+
+def _reverse_path(graph: Graph) -> str:
+    """The reverse-relabeled edge path of graph_is_same_as(symmetry=True)
+    (graph.py:249-267), precomputed once per representative."""
+    counts = _node_type_counts(graph.nodes)
+    update = {}
+    for node in graph.nodes:
+        t = node.id[0]
+        num = int(node.id[1:])
+        update[node.id] = f"{t}{counts[t] - num - 1}"
+    out = []
+    for e in reversed(graph.edges):
+        out.append(update[e.node2])
+        out.append("-" if e.node2_is_reverse else "+")
+        out.append(update[e.node1])
+        out.append("-" if e.node1_is_reverse else "+")
+    return "".join(out)
+
+
+def find_symmetric_pairs(names: List[str], graphs: List[Graph]):
+    """All (i, j) i<j pairs whose graphs are symmetric but not exact matches
+    (the reference's O(G^2) sweep, graph.py:629-643), via a path index.
+
+    g_j sym-matches base g_i iff path(g_j) == reverse_path(g_i) plus the
+    count checks — so candidates for each i come from a path -> indices map
+    instead of the full pair scan. The surviving candidates (few) run the
+    original graph_is_same_as calls, keeping the recorded verdicts and the
+    later-j-overwrites-earlier-j semantics bit-identical.
+
+    Returns (sym_matching, sym_pair) keyed by base name, matching
+    collect_csv_same_format's summary structures minus the class-member
+    concatenation (done by the caller, which owns the exact classes)."""
+    paths = [_edges_path(g.edges) for g in graphs]
+    revpaths = [_reverse_path(g) for g in graphs]
+    by_path: Dict[str, List[int]] = {}
+    for idx, p in enumerate(paths):
+        by_path.setdefault(p, []).append(idx)
+
+    pairs: List[Tuple[int, int]] = []
+    for i in range(len(graphs)):
+        for j in by_path.get(revpaths[i], ()):
+            if j <= i:
+                continue
+            if graph_is_same_as(graphs[j], graphs[i], strict=True):
+                continue
+            if graph_is_same_as(graphs[j], graphs[i], strict=False,
+                                symmetry=True):
+                pairs.append((i, j))
+    return pairs
+
+
 def classify_graphs(graphs: List[Graph]) -> List[Graph]:
     """Group identical graphs; majority first (graph.py:72-100, including the
     reference's loop-variable shadowing which increments the count of the
@@ -402,16 +490,10 @@ def collect_csv_same_format(gfa_path: str, vcf_path: str, options) -> Tuple[Dict
     logging.info("Adding GraphID, GFA INFO fields to VCF, output "
                  f"{sample}.svision.s{min_support}.graph.vcf")
 
-    exactly_matching: Dict[str, List[str]] = {}
+    matcher = ExactMatcher()  # in-memory + path-indexed (fixes the
+    # reference's O(G^2) disk re-parse sweep, graph.py:629-643)
     symmetry_matching: Dict[str, List[str]] = {}
     symmetry_matching_pair: Dict[str, List[str]] = {}
-    graph_cache: Dict[str, Graph] = {}  # in-memory (fixes O(G^2) re-parse)
-
-    def cached_graph(name: str) -> Graph:
-        if name not in graph_cache:
-            graph_cache[name] = parse_gfa_file(
-                os.path.join(gfa_path, f"{name}.gfa"))
-        return graph_cache[name]
 
     header, records = read_vcf(vcf_path)
     with open(graph_vcf_path, "w") as graph_vcf:
@@ -445,24 +527,10 @@ def collect_csv_same_format(gfa_path: str, vcf_path: str, options) -> Tuple[Dict
             target_gfa = f"{chrom}-{start}-{end}-{rec_id}-{sv_type}"
             final_path = os.path.join(gfa_path, f"{target_gfa}.gfa")
             _, node_list, link_list = write_graph_to_file(final_graph, final_path)
-            graph_cache[target_gfa] = parse_gfa_file(final_path)
-
-            exactly_flag = 0
-            exact_base = ""
-            cnt = -1
-            for base_gfa in exactly_matching.keys():
-                cnt += 1
-                if graph_is_same_as(cached_graph(target_gfa),
-                                    cached_graph(base_gfa), strict=True):
-                    exactly_flag = 1
-                    exact_base = base_gfa
-                    break
-            if exactly_flag == 0:
-                exactly_matching[target_gfa] = [target_gfa]
-                graph_id = len(exactly_matching) - 1
-            else:
-                exactly_matching[exact_base].append(target_gfa)
-                graph_id = cnt
+            # classify the round-tripped graph (the reference compares parsed
+            # GFAs, whose parse drops ref_end/read ordering detail — parity
+            # requires matching on the same representation)
+            graph_id = matcher.add(target_gfa, parse_gfa_file(final_path))
 
             main_info[-1] += (f";GraphID={graph_id};GFA_ID={target_gfa};"
                               f"GFA_S={','.join(node_list)};"
@@ -470,27 +538,21 @@ def collect_csv_same_format(gfa_path: str, vcf_path: str, options) -> Tuple[Dict
             graph_vcf.write("\t".join(main_info) + "\t" + gt_info + "\n")
 
     logging.info("Find symmetric graphs")
+    exactly_matching = matcher.classes
     gfas = list(exactly_matching.keys())
-    for i in range(len(gfas)):
-        for j in range(i + 1, len(gfas)):
-            base_gfa, target_gfa = gfas[i], gfas[j]
-            if graph_is_same_as(cached_graph(target_gfa),
-                                cached_graph(base_gfa), strict=True):
-                continue
-            if graph_is_same_as(cached_graph(target_gfa),
-                                cached_graph(base_gfa), strict=False,
-                                symmetry=True):
-                symmetry_matching[base_gfa] = (exactly_matching[base_gfa]
-                                               + exactly_matching[target_gfa])
-                symmetry_matching_pair[base_gfa] = [
-                    f"{i},{j}",
-                    f"{len(exactly_matching[base_gfa])},"
-                    f"{len(exactly_matching[target_gfa])}"]
+    for i, j in find_symmetric_pairs(gfas, [matcher.graph(g) for g in gfas]):
+        base_gfa, target_gfa = gfas[i], gfas[j]
+        symmetry_matching[base_gfa] = (exactly_matching[base_gfa]
+                                       + exactly_matching[target_gfa])
+        symmetry_matching_pair[base_gfa] = [
+            f"{i},{j}",
+            f"{len(exactly_matching[base_gfa])},"
+            f"{len(exactly_matching[target_gfa])}"]
 
     with open(os.path.join(out_path, f"{sample}.graph_exactly_match.txt"),
               "w") as fout:
         for cnt, base_gfa in enumerate(exactly_matching.keys()):
-            nf, ef, pf = parse_graph_features(cached_graph(base_gfa))
+            nf, ef, pf = parse_graph_features(matcher.graph(base_gfa))
             fout.write(f"> GraphId={cnt}\tNumber={len(exactly_matching[base_gfa])}"
                        f"\tNodes={nf}\tEdges={ef}\tPath={pf}\n")
             fout.write("\t".join(exactly_matching[base_gfa]))
@@ -501,12 +563,17 @@ def collect_csv_same_format(gfa_path: str, vcf_path: str, options) -> Tuple[Dict
         for base_gfa in symmetry_matching.keys():
             if len(symmetry_matching[base_gfa]) == 0:
                 continue
-            nf, ef, pf = parse_graph_features(cached_graph(base_gfa))
+            nf, ef, pf = parse_graph_features(matcher.graph(base_gfa))
             fout.write(f"> GraphId={symmetry_matching_pair[base_gfa][0]}"
                        f"\tNumber={symmetry_matching_pair[base_gfa][1]}"
                        f"\tNodes={nf}\tEdges={ef}\tPath={pf}")
             target = symmetry_matching[base_gfa][-1]
-            _, _, pf2 = parse_graph_features(cached_graph(target))
+            # the reference re-parses the last member's GFA here; class
+            # members are exact matches of their base, so the base's parsed
+            # graph yields the identical path string
+            target_base = next(b for b, members in exactly_matching.items()
+                               if target in members)
+            _, _, pf2 = parse_graph_features(matcher.graph(target_base))
             fout.write(f",{pf2}\n")
             fout.write("\t".join(symmetry_matching[base_gfa]))
             fout.write("\n")
