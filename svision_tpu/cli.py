@@ -124,6 +124,10 @@ def parse_arguments(arguments=None) -> Options:
     pre.add_argument("--exact", dest="bf16", action="store_false", default=True,
                      help="Run the CNN in f32 (reference-faithful numerics) "
                      "instead of the default bf16 fast path")
+    pre.add_argument("--mesh", type=str, default="auto",
+                     help="Data-parallel inference mesh: 'auto' (all local "
+                     "devices when >1 attached), 'none' (single device), or "
+                     "a device count (default: %(default)s)")
 
     gt = parser.add_argument_group("Genotype parameters")
     gt.add_argument("--min_gt_depth", type=int, default=4)
@@ -145,6 +149,11 @@ def parse_arguments(arguments=None) -> Options:
     dst.add_argument("--merge_shards", action="store_true", default=False,
                      help="Merge all shards' fragments into the final VCF "
                      "(run once after every shard finished)")
+    dst.add_argument("--coordinator", type=str, default=None,
+                     help="jax.distributed coordinator 'host:port': run this "
+                     "shard AND the final merge in one launch with NO shared "
+                     "filesystem — fragments are gathered to process 0 over "
+                     "the distributed channel (out dirs may be disjoint)")
 
     ns = parser.parse_args(arguments)
     return Options(**vars(ns)).normalized()
@@ -235,6 +244,17 @@ def run_pipeline(options: Options) -> str:
 
     if options.merge_shards or options.num_shards > 1:
         from svision_tpu.parallel import dist
+        if options.coordinator and not options.merge_shards:
+            merged = dist.run_distributed(options)
+            if merged is None:      # non-zero process: fragments shipped
+                logging.info("shard %d/%d done; fragments gathered to "
+                             "process 0", options.shard_id, options.num_shards)
+                return os.path.join(work_dir, "predict_results")
+            if options.bgzip:
+                from svision_tpu.io.tabix import bgzip_vcf
+                merged, tbi = bgzip_vcf(merged)
+                logging.info("bgzipped + indexed: %s (%s)", merged, tbi)
+            return merged
         bam = BamReader(options.bam_path)
         ref = FastaFile(options.genome)
         chrom_order = list(build_task_list(bam, ref, options))
@@ -341,8 +361,13 @@ def run_pipeline(options: Options) -> str:
 
     logging.info("**** Step2 CNN prediction (pipelined with collection) ****")
     params = load_params(options.model_path)
+    from svision_tpu.parallel.mesh import resolve_mesh
+    mesh = resolve_mesh(options.mesh)
+    if mesh is not None:
+        logging.info("inference mesh: %d devices (data-parallel)",
+                     mesh.devices.size)
     engine = InferenceEngine(params, batch_size=options.batch_size,
-                             bf16=options.bf16)
+                             bf16=options.bf16, mesh=mesh)
     # Compile the device programs on a background thread while window
     # collection proceeds: a cold compile costs 20-260 s on the tunneled
     # backend (cached across runs by enable_persistent_cache).
@@ -487,6 +512,9 @@ def run_pipeline(options: Options) -> str:
 
 
 def main(argv=None):
+    from svision_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()   # shard workers are routinely launched as
+    # CPU subprocesses; a site hook must not re-force the device tunnel
     options = parse_arguments(argv)
     run_pipeline(options)
 

@@ -55,8 +55,9 @@ class Options:
     max_hash_len: int = 1000
 
     # --- svision-tpu additions (no reference equivalent) ---
-    # Device mesh shape for data-parallel inference; None = all local devices.
-    mesh_devices: Optional[int] = None
+    # Device mesh for data-parallel inference: 'auto' (all local devices when
+    # more than one is attached), 'none' (single device), or a device count.
+    mesh: str = "auto"
     # Use bfloat16 for the CNN forward pass (fp32 logits accumulation).
     bf16: bool = True
     # Cache per-window candidate beds and reuse them on rerun.
@@ -83,6 +84,10 @@ class Options:
     num_shards: int = 1
     shard_id: int = 0
     merge_shards: bool = False
+    # jax.distributed coordinator ('host:port'): one-command multi-host run
+    # with NO shared filesystem — fragments gather to process 0 over the
+    # distributed channel and process 0 merges (parallel/dist.py).
+    coordinator: Optional[str] = None
 
     def normalized(self) -> "Options":
         """Apply the reference's dynamic overrides (SVision:161-162)."""

@@ -106,7 +106,21 @@ class InferenceEngine:
 
     def __init__(self, params, batch_size: int = 128, bf16: bool = True,
                  fast: bool = True, chunk: int = 128, raster: str = "einsum",
-                 tail: Optional[str] = None, int8: bool = False):
+                 tail: Optional[str] = None, int8: bool = False, mesh=None):
+        # mesh: optional jax.sharding.Mesh with a 'data' axis — batch rows
+        # shard over it (data-parallel forward, params replicated; XLA needs
+        # no collectives). None = single-device placement.
+        if mesh is not None and mesh.shape.get("data", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = mesh.shape["data"]
+            batch_size = -(-batch_size // data) * data  # equal shards
+            self.mesh = mesh
+            self._sh_batch = NamedSharding(mesh, P("data"))      # [B, ...]
+            self._sh_chunk = NamedSharding(mesh, P(None, "data"))  # [nb,B,...]
+            self._sh_repl = NamedSharding(mesh, P())
+        else:
+            self.mesh = None
+            self._sh_batch = self._sh_chunk = self._sh_repl = None
         self.batch_size = batch_size
         self.chunk = chunk              # batches per device dispatch
         self.raster = raster            # 'einsum' (MXU) or 'pallas' (VPU)
@@ -129,15 +143,15 @@ class InferenceEngine:
             if self.int8:
                 quant = alexnet.quantize_params_int8(
                     alexnet.fold_conv1_params(host))
-                self.folded_params = {k: jnp.asarray(v)
+                self.folded_params = {k: self._put_repl(v)
                                       for k, v in quant.items()}
             else:
                 self.folded_params = {
-                    k: jnp.asarray(v)
+                    k: self._put_repl(v)
                     for k, v in alexnet.fold_params_bf16(host).items()}
             self.params = host          # host-resident; unused on device
         else:
-            self.params = jax.tree_util.tree_map(jnp.asarray, params)
+            self.params = jax.tree_util.tree_map(self._put_repl, params)
             self.folded_params = None
         # tail policy for the last partial super-chunk: 'full' pads it to a
         # full `chunk` scan (ONE extra program shape ever; ~0.4 s of wasted
@@ -149,6 +163,25 @@ class InferenceEngine:
             tail = "full" if jax.default_backend() != "cpu" else "pow2"
         assert tail in ("full", "pow2"), tail
         self.tail = tail
+
+    def _put_repl(self, arr):
+        """Params: replicated over the mesh (or plain device copy)."""
+        if self.mesh is not None:
+            return jax.device_put(jnp.asarray(arr), self._sh_repl)
+        return jnp.asarray(arr)
+
+    def _put_batch(self, arr):
+        """One batch [B, ...]: rows sharded over 'data'."""
+        if self.mesh is not None:
+            return jax.device_put(arr, self._sh_batch)
+        return jnp.asarray(arr)
+
+    def _put_chunked(self, arr):
+        """Batched batches [nb, B, ...]: dim 1 sharded over 'data', so both
+        chunk slices (dim 0) and single-batch indexing stay shard-aligned."""
+        if self.mesh is not None:
+            return jax.device_put(arr, self._sh_chunk)
+        return jnp.asarray(arr)
 
     @property
     def _run_params(self):
@@ -206,13 +239,16 @@ class InferenceEngine:
             specs = self._pad(specs, bs)
             ep, vis, rev = rasterize.specs_to_endpoints(specs)
             if self.fast:
-                p, s = _device_step_fast(self.folded_params, jnp.asarray(ep),
-                                         jnp.asarray(vis), jnp.asarray(rev),
+                p, s = _device_step_fast(self.folded_params,
+                                         self._put_batch(ep),
+                                         self._put_batch(vis),
+                                         self._put_batch(rev),
                                          compute_dtype=self.compute_dtype,
                                          raster_kind=self.raster)
             else:
-                p, s = _device_step(self.params, jnp.asarray(ep),
-                                    jnp.asarray(vis), jnp.asarray(rev),
+                p, s = _device_step(self.params, self._put_batch(ep),
+                                    self._put_batch(vis),
+                                    self._put_batch(rev),
                                     compute_dtype=self.compute_dtype)
             return np.asarray(p)[:n], np.asarray(s)[:n]
 
@@ -247,36 +283,35 @@ class InferenceEngine:
 
         specs = self._pad(specs, bs * (sum(chunks) + singles))
         ep, vis, rev = rasterize.specs_to_endpoints(specs)
-        # ONE host->device transfer per array; per-chunk slice+reshape happen
-        # device-side (async dispatch). Per-transfer round-trip latency on a
-        # tunneled link dominates the tiny payload (~36 B/spec), so 3
-        # transfers total instead of 3 per super-chunk.
-        ep_d = jnp.asarray(ep)
-        vis_d = jnp.asarray(vis)
-        rev_d = jnp.asarray(rev)
+        # ONE host->device transfer per array, pre-shaped [n_batches, bs, ...]
+        # so per-chunk slices ride dim 0 (unsharded under a mesh) and stay
+        # device-side async. Per-transfer round-trip latency on a tunneled
+        # link dominates the tiny payload (~36 B/spec), so 3 transfers total
+        # instead of 3 per super-chunk.
+        nb = specs.shape[0] // bs
+        ep_d = self._put_chunked(ep.reshape(nb, bs, *ep.shape[1:]))
+        vis_d = self._put_chunked(vis.reshape(nb, bs, *vis.shape[1:]))
+        rev_d = self._put_chunked(rev.reshape(nb, bs, *rev.shape[1:]))
         outs = []
         i = 0
         for c in chunks:
-            sb = c * bs
             outs.append(_device_step_many(
                 self._run_params,
-                ep_d[i:i + sb].reshape(c, bs, *ep.shape[1:]),
-                vis_d[i:i + sb].reshape(c, bs, *vis.shape[1:]),
-                rev_d[i:i + sb].reshape(c, bs, *rev.shape[1:]),
+                ep_d[i:i + c], vis_d[i:i + c], rev_d[i:i + c],
                 compute_dtype=self.compute_dtype, fast=self.fast,
                 raster_kind=self.raster))
-            i += sb
+            i += c
         for _ in range(singles):
             if self.fast:
                 outs.append(_device_step_fast(
-                    self.folded_params, ep_d[i:i + bs], vis_d[i:i + bs],
-                    rev_d[i:i + bs], compute_dtype=self.compute_dtype,
+                    self.folded_params, ep_d[i], vis_d[i], rev_d[i],
+                    compute_dtype=self.compute_dtype,
                     raster_kind=self.raster))
             else:
                 outs.append(_device_step(
-                    self.params, ep_d[i:i + bs], vis_d[i:i + bs],
-                    rev_d[i:i + bs], compute_dtype=self.compute_dtype))
-            i += bs
+                    self.params, ep_d[i], vis_d[i], rev_d[i],
+                    compute_dtype=self.compute_dtype))
+            i += 1
         preds = np.concatenate([np.asarray(p) for p, _ in outs])
         softs = np.concatenate([np.asarray(s) for _, s in outs])
         return preds[:n], softs[:n]

@@ -79,8 +79,22 @@ def _load():
     return _lib
 
 
+_autobuild_tried = False
+
+
 def available() -> bool:
-    return _load() is not None
+    """True when libsvio.so is loadable. On the first miss, try ONE in-place
+    `make -C io/native` (clean checkouts / pip installs on a machine with a
+    toolchain get the fast path without a manual build step; machines without
+    g++ silently stay on the pure-Python BGZF path)."""
+    global _autobuild_tried
+    if _load() is not None:
+        return True
+    if not _autobuild_tried and not _load_failed:
+        _autobuild_tried = True
+        if ensure_built():
+            return _load() is not None
+    return False
 
 
 def decode_threads() -> int:

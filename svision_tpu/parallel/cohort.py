@@ -72,8 +72,11 @@ def run_cohort_shard(samples: Dict[str, str], options: Options,
     enable_persistent_cache(getattr(options, 'jax_cache', None))
     ref = FastaFile(options.genome)
     params = load_params(options.model_path)
+    from svision_tpu.parallel.mesh import resolve_mesh
     engine = InferenceEngine(params, batch_size=options.batch_size,
-                             bf16=options.bf16)
+                             bf16=options.bf16,
+                             mesh=resolve_mesh(getattr(options, "mesh",
+                                                       "auto")))
     warmup_thread = engine.warmup_async()
 
     # all samples share one chromosome universe for deterministic assignment
@@ -275,6 +278,9 @@ def run_cohort(samples: Dict[str, str], options: Options,
 
 
 def main(argv=None):
+    from svision_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()   # cohort shards are routinely launched as
+    # CPU subprocesses; a site hook must not re-force the device tunnel
     ap = argparse.ArgumentParser(
         description="svision-tpu multi-sample cohort caller")
     ap.add_argument("-o", dest="out_path", type=os.path.abspath, required=True)

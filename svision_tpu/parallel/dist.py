@@ -74,6 +74,95 @@ def exchange_score_minmax(local_scores: np.ndarray) -> Tuple[float, float]:
     return float(np.min(local_scores)), float(np.max(local_scores))
 
 
+def _pack_fragments(predict_dir: str) -> bytes:
+    """Serialize this shard's VCF/score fragments into one length-prefixed
+    blob: [u32 n_files][per file: u32 name_len, name, u64 size, bytes]."""
+    import struct
+    names = sorted(f for f in os.listdir(predict_dir)
+                   if f.endswith(".vcf") or f.endswith(".score.txt"))
+    parts = [struct.pack("<I", len(names))]
+    for name in names:
+        with open(os.path.join(predict_dir, name), "rb") as fh:
+            data = fh.read()
+        enc = name.encode()
+        parts.append(struct.pack("<I", len(enc)) + enc
+                     + struct.pack("<Q", len(data)) + data)
+    return b"".join(parts)
+
+
+def _unpack_fragments(blob: bytes, dest_dir: str) -> List[str]:
+    import struct
+    os.makedirs(dest_dir, exist_ok=True)
+    (n,) = struct.unpack_from("<I", blob, 0)
+    off = 4
+    written = []
+    for _ in range(n):
+        (name_len,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        name = blob[off:off + name_len].decode()
+        off += name_len
+        (size,) = struct.unpack_from("<Q", blob, off)
+        off += 8
+        if os.path.basename(name) != name:
+            raise ValueError(f"fragment name escapes dest dir: {name!r}")
+        with open(os.path.join(dest_dir, name), "wb") as fh:
+            fh.write(blob[off:off + size])
+        off += size
+        written.append(name)
+    return written
+
+
+def gather_fragments_to_host0(predict_dir: str) -> None:
+    """Ship every shard's VCF/score fragments to process 0 over the
+    jax.distributed channel — the non-shared-filesystem finish (the
+    reference's merger re-reads per-chrom files from one directory,
+    output.py:601-612; here the directory exists only on host 0).
+
+    COLLECTIVE: every process must call this after its run_shard. Fragment
+    sizes differ per shard, so the gather is two-phase: fixed-size length
+    exchange, then payloads padded to the max."""
+    import jax
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(_pack_fragments(predict_dir), np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.array([blob.size], np.int64))            # [P, 1]
+    padded = np.zeros(int(lens.max()), np.uint8)
+    padded[:blob.size] = blob
+    blobs = multihost_utils.process_allgather(padded)   # [P, maxlen]
+    if jax.process_index() == 0:
+        for p in range(1, jax.process_count()):
+            names = _unpack_fragments(
+                np.asarray(blobs[p, :int(lens[p, 0])]).tobytes(), predict_dir)
+            logging.info("gathered %d fragment files from shard %d",
+                         len(names), p)
+
+
+def run_distributed(options) -> Optional[str]:
+    """One-command multi-host run WITHOUT a shared filesystem: initialize
+    jax.distributed from --coordinator, run this process's shard into its
+    local out dir, all-gather the fragments, merge on process 0.
+
+    Returns the merged VCF path on process 0, None on other processes."""
+    init_distributed(options.coordinator, options.num_shards,
+                     options.shard_id)
+    run_shard(options, options.shard_id, options.num_shards)
+    predict_dir = os.path.join(options.out_path, "predict_results")
+    gather_fragments_to_host0(predict_dir)
+
+    import jax
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return None
+    from svision_tpu.cli import build_task_list
+    from svision_tpu.io.bam import BamReader
+    from svision_tpu.io.fasta import FastaFile
+    chrom_order = list(build_task_list(BamReader(options.bam_path),
+                                       FastaFile(options.genome), options))
+    return merge_all(options, chrom_order)
+
+
 def run_shard(options, shard_id: int, num_shards: int) -> List[str]:
     """Collection + prediction for this shard's chromosomes; returns the
     chrom list handled. Fragments land in the shared predict_results dir
@@ -98,8 +187,13 @@ def run_shard(options, shard_id: int, num_shards: int) -> List[str]:
     from svision_tpu.utils.jaxcache import enable_persistent_cache
     enable_persistent_cache(getattr(options, 'jax_cache', None))
     params = load_params(options.model_path)
+    from svision_tpu.parallel.mesh import resolve_mesh
+    mesh = resolve_mesh(getattr(options, "mesh", "auto"))
+    if mesh is not None:
+        logging.info("shard %d inference mesh: %d devices (data-parallel)",
+                     shard_id, mesh.devices.size)
     engine = InferenceEngine(params, batch_size=options.batch_size,
-                             bf16=options.bf16)
+                             bf16=options.bf16, mesh=mesh)
     warmup_thread = engine.warmup_async()
     for chrom in my_chroms:
         cands = []

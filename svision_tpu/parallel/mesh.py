@@ -23,13 +23,15 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from svision_tpu.models import alexnet
-from svision_tpu.ops import rasterize
-
 
 def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
-    """1- or 2-axis mesh over local devices: ('data',) or ('data','model')."""
-    devs = jax.devices()
+    """1- or 2-axis mesh over local devices: ('data',) or ('data','model').
+
+    LOCAL devices only: under a multi-process jax.distributed runtime each
+    process runs its own engine over its own chips (genome-axis sharding is
+    the cross-process parallelism); a global mesh would make host batches
+    non-addressable."""
+    devs = jax.local_devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)
@@ -38,6 +40,22 @@ def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1) -> Mesh:
         arr = np.array(devs).reshape(n // model_axis, model_axis)
         return Mesh(arr, ("data", "model"))
     return Mesh(np.array(devs), ("data",))
+
+
+def resolve_mesh(spec: str = "auto") -> Optional[Mesh]:
+    """CLI --mesh flag -> Mesh or None (single-device).
+
+    'auto' = all local devices when more than one is attached; 'none'/'1'
+    force the single-device engine; an integer uses that many devices."""
+    if spec is None or str(spec).lower() in ("none", "0", "1"):
+        return None
+    avail = len(jax.local_devices())
+    n = avail if str(spec) == "auto" else int(spec)
+    if n <= 1:
+        return None
+    if n > avail:
+        raise ValueError(f"--mesh {spec}: only {avail} local devices attached")
+    return make_mesh(n)
 
 
 def replicate_params(params, mesh: Mesh):
@@ -63,83 +81,15 @@ def shard_params_tp(params, mesh: Mesh):
     return placed
 
 
-class ShardedInference:
-    """Data-parallel encoder+CNN forward over a mesh.
-
-    Batch rows are sharded on 'data'; params replicated. One jit program,
-    reused across all batches of a run.
-    """
-
-    def __init__(self, params, mesh: Mesh, batch_size: int = 128,
-                 bf16: bool = True, fast: bool = True, chunk: int = 8):
-        self.mesh = mesh
-        self.batch_size = batch_size
-        self.chunk = chunk
-        self.compute_dtype = jnp.bfloat16 if bf16 else jnp.float32
-        self.fast = fast and bf16
-        if self.fast:
-            # same host fold + bf16 pre-cast as InferenceEngine (shared
-            # helper: numerics cannot drift between the two paths)
-            params = alexnet.fold_params_bf16(params)
-        self.params = replicate_params(params, mesh)
-        # batch rows sharded over 'data' within each scanned chunk
-        data_sharding = NamedSharding(mesh, P(None, "data"))
-        repl = NamedSharding(mesh, P())
-
-        def step(params, endpoints, visible, reverse):
-            if self.fast:
-                raster = rasterize.render_raster(endpoints, visible, reverse,
-                                                 dtype=self.compute_dtype)
-                logits = alexnet.forward_raster(params, raster,
-                                                compute_dtype=self.compute_dtype)
-            else:
-                images = rasterize.render_images(endpoints, visible, reverse,
-                                                 dtype=jnp.float32)
-                logits = alexnet.forward(params, images,
-                                         compute_dtype=self.compute_dtype)
-            pred = jnp.argmax(logits, axis=1)
-            soft = jax.nn.softmax(logits, axis=1)
-            return pred, jnp.max(soft, axis=1)  # == soft[argmax], no gather
-
-        def step_many(params, endpoints, visible, reverse):
-            # [C,B,...] -> ([C*B], [C*B]); one dispatch per super-chunk
-            def body(_, inp):
-                p, s = step(params, *inp)
-                return None, (p, s)
-            _, (preds, softs) = jax.lax.scan(
-                body, None, (endpoints, visible, reverse))
-            return preds.reshape(-1), softs.reshape(-1)
-
-        self._step = jax.jit(
-            step_many,
-            in_shardings=(jax.tree_util.tree_map(lambda _: repl, self.params),
-                          data_sharding, data_sharding, data_sharding),
-            out_shardings=(NamedSharding(mesh, P("data")),) * 2)
-
-    def predict_specs(self, specs: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-        n = specs.shape[0]
-        if n == 0:
-            return np.zeros(0, np.int64), np.zeros(0, np.float32)
-        data_axis = self.mesh.shape["data"]
-        bs = max(self.batch_size, data_axis)
-        super_bs = bs * self.chunk
-        pad = (-n) % super_bs
-        if pad:
-            sentinel = np.array([[0, 1, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2]],
-                                dtype=np.int64)
-            specs = np.concatenate([specs, np.repeat(sentinel, pad, 0)], 0)
-        ep, vis, rev = rasterize.specs_to_endpoints(specs)
-        outs = []
-        for i in range(0, specs.shape[0], super_bs):
-            c = self.chunk
-            outs.append(self._step(
-                self.params,
-                jnp.asarray(ep[i:i + super_bs].reshape(c, bs, *ep.shape[1:])),
-                jnp.asarray(vis[i:i + super_bs].reshape(c, bs, *vis.shape[1:])),
-                jnp.asarray(rev[i:i + super_bs].reshape(c, bs, *rev.shape[1:]))))
-        preds = np.concatenate([np.asarray(p) for p, _ in outs])
-        softs = np.concatenate([np.asarray(s) for _, s in outs])
-        return preds[:n], softs[:n]
+def ShardedInference(params, mesh: Mesh, batch_size: int = 128,
+                     bf16: bool = True, fast: bool = True, chunk: int = 8):
+    """Data-parallel encoder+CNN forward over a mesh: the mesh-aware
+    InferenceEngine (batch rows sharded on 'data', params replicated — the
+    engine owns all tail/chunk/warmup logic, so the single- and multi-device
+    paths cannot drift)."""
+    from svision_tpu.infer.engine import InferenceEngine
+    return InferenceEngine(params, batch_size=batch_size, bf16=bf16,
+                           fast=fast, chunk=chunk, mesh=mesh)
 
 
 def global_score_minmax(local_scores: np.ndarray, mesh: Mesh
