@@ -18,3 +18,27 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (pytest.ini): `-m smoke` = the <60 s per-commit gate — unit +
+# kernel parity + one real CLI e2e (test_tabix::test_cli_bgzip_flag drives
+# run_pipeline end to end). Everything else (TF byte-identity suites,
+# multi-process launches, training) stays in the full tier.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+SMOKE_MODULES = {
+    "test_annotation", "test_bam_io", "test_call_parity",
+    "test_callset_cluster", "test_cluster", "test_collect_parity",
+    "test_dotplot", "test_fast_inflate", "test_graph_parity",
+    "test_graph_scale", "test_hashplot", "test_prefilter", "test_rasterize",
+    "test_tabix",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SMOKE_MODULES:
+            item.add_marker(pytest.mark.smoke)
