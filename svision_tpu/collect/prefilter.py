@@ -57,15 +57,18 @@ def qname_hashes(batch) -> np.ndarray:
         return sums ^ lens.astype(np.uint64)
 
 
-def qualifying_read_mask(batch, min_mapq: int, min_sv_size: int) -> np.ndarray:
-    """[n] bool: records worth building Aln objects for.
+def record_masks(batch, min_mapq: int, min_sv_size: int):
+    """Per-record (valid, qualifying) masks, no group resolution.
 
-    Applies the reference's record filters (unmapped/secondary/mapq/empty
-    CIGAR, collect_signatures.py:131-155) and keeps exactly the qname groups
-    containing a supplementary or a >= min_sv_size I/D op."""
+    valid = the reference's record filters (unmapped/secondary/mapq/empty
+    CIGAR, collect_signatures.py:131-155); qualifying = valid AND
+    (supplementary or a >= min_sv_size I/D op). Group resolution happens in
+    qualifying_read_mask (whole-window batch) or across chunk batches in the
+    streamed giant-window path (collect/window.py)."""
     n = batch.n
     if n == 0:
-        return np.zeros(0, bool)
+        z = np.zeros(0, bool)
+        return z, z
     flag = batch.flag.astype(np.uint32)
     valid = ((flag & 0x4) == 0) & ((flag & 0x100) == 0)
     valid &= batch.mapq >= min_mapq
@@ -81,8 +84,14 @@ def qualifying_read_mask(batch, min_mapq: int, min_sv_size: int) -> np.ndarray:
         has_big = np.bincount(rec_of[big], minlength=n).astype(bool)
     else:
         has_big = np.zeros(n, bool)
-
     qual = valid & (has_big | ((flag & 0x800) != 0))
+    return valid, qual
+
+
+def qualifying_read_mask(batch, min_mapq: int, min_sv_size: int) -> np.ndarray:
+    """[n] bool: records worth building Aln objects for — the record filters
+    plus whole-group keep (any member qualifying keeps the qname group)."""
+    valid, qual = record_masks(batch, min_mapq, min_sv_size)
     if not qual.any():
         return qual
     hashes = qname_hashes(batch)

@@ -23,6 +23,86 @@ from svision_tpu.io.bam import BamReader
 from svision_tpu.io.fasta import FastaFile
 
 
+# Giant-window streaming (contig mode makes the window the whole contig,
+# SVision:161-180; a 100 Mb+ contig at depth would otherwise decode into one
+# multi-GB SoA batch). Windows wider than STREAM_WINDOW are collected in
+# STREAM_CHUNK sub-fetches with bounded host memory. Env-overridable for
+# tests and tuning.
+STREAM_WINDOW = int(os.environ.get("SVISION_STREAM_WINDOW", 20_000_000))
+STREAM_CHUNK = int(os.environ.get("SVISION_STREAM_CHUNK", 5_000_000))
+
+
+def _stream_chunks(start: int, end: int, chunk: int):
+    pos = start
+    while pos < end:
+        yield pos, min(pos + chunk, end)
+        pos += chunk
+
+
+def _stream_window(bam, chrom: str, start: int, end: int, options):
+    """Bounded-memory collection over a giant window: two chunked passes.
+
+    Pass 1 (no sequence decode) accumulates every record's span (coverage
+    counting counts all fetched records, classes.py:165-170) and the global
+    set of qname hashes whose group qualifies for the signature stack.
+    Pass 2 re-fetches chunk by chunk with packed sequences and builds Aln
+    objects only for records in qualifying groups.
+
+    Each record is assigned to the chunk containing its pos (records
+    overlapping a chunk boundary are fetched by both sub-fetches; the later
+    one drops them), so the concatenated record stream is EXACTLY the
+    single-fetch stream and every downstream decision is unchanged —
+    byte-identical output is CI-gated (tests/test_contig_stream.py).
+
+    Returns (aln_iterator, pos array, endpos array) or None when the native
+    batch path is unavailable (the pure-Python fallback already streams)."""
+    from svision_tpu.collect.prefilter import qname_hashes, record_masks
+    from svision_tpu.io.bam import _batch_to_alns
+
+    min_mapq = 0 if options.contig else options.min_mapq
+
+    pos_parts: List[np.ndarray] = []
+    end_parts: List[np.ndarray] = []
+    qual_hash_parts: List[np.ndarray] = []
+    for cs, ce in _stream_chunks(start, end, STREAM_CHUNK):
+        batch = bam.fetch_batch(chrom, cs, ce, decode_seq=False)
+        if batch is None:
+            return None
+        dedup = (batch.pos >= cs) if cs != start \
+            else np.ones(batch.n, bool)
+        pos_parts.append(batch.pos[dedup].astype(np.int64))
+        end_parts.append(np.maximum(batch.endpos[dedup],
+                                    batch.pos[dedup] + 1).astype(np.int64))
+        _, qual = record_masks(batch, min_mapq, options.min_sv_size)
+        qual &= dedup
+        if qual.any():
+            qual_hash_parts.append(np.unique(qname_hashes(batch)[qual]))
+
+    pos = np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int64)
+    endpos = (np.concatenate(end_parts) if end_parts
+              else np.zeros(0, np.int64))
+    group_hashes = (np.unique(np.concatenate(qual_hash_parts))
+                    if qual_hash_parts else np.zeros(0, np.uint64))
+
+    def alns():
+        if group_hashes.size == 0:
+            return
+        for cs, ce in _stream_chunks(start, end, STREAM_CHUNK):
+            batch = bam.fetch_batch(chrom, cs, ce)
+            if batch is None:     # native lib vanished mid-run: impossible
+                raise RuntimeError("native batch path lost during stream")
+            valid, _ = record_masks(batch, min_mapq, options.min_sv_size)
+            keep = valid & np.isin(qname_hashes(batch), group_hashes)
+            if cs != start:
+                keep &= batch.pos >= cs
+            # Aln construction copies out of the batch buffers, so each
+            # chunk's native result is freed before the next is fetched
+            yield from _batch_to_alns(batch, bam.references,
+                                      indices=np.nonzero(keep)[0])
+
+    return alns(), pos, endpos
+
+
 @dataclass
 class WindowResult:
     chrom: str
@@ -53,8 +133,14 @@ def run_detect(options, bam_path: str, chrom: str, part: int, start: int,
         # of a fresh BAM fetch per cluster (classes.py:165-170 re-opens the
         # BAM each time). Spans sticking out of the window fall back to the
         # indexed count.
-        batch = bam.fetch_batch(chrom, start, end)
-        if batch is not None:
+        streamed = (_stream_window(bam, chrom, start, end, options)
+                    if end - start > STREAM_WINDOW else None)
+        batch = None if streamed is not None \
+            else bam.fetch_batch(chrom, start, end)
+        if streamed is not None:
+            aln_iter, pos, endpos = streamed
+            sigs = analyze_alignments(aln_iter, options, ref)
+        elif batch is not None:
             # Native SoA path: spans come straight from the batch arrays and
             # the vectorized prefilter drops clean qname groups before any
             # Aln object is built (collect/prefilter.py) — in a deep-coverage
