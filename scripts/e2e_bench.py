@@ -24,13 +24,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 KINDS = ["DEL", "INS", "INV", "tDUP", "DUP"]
 
 
-def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11):
+def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
+                 fast_genome=False):
     from svision_tpu.sim import make_genome, make_sv_bam
     size = int(mb * 1e6)
     chroms = {f"chr{i+1}": size for i in range(n_chroms)}
     t0 = time.time()
     fasta = os.path.join(workdir, "ref.fa")
-    genome = make_genome(fasta, chroms, seed=seed)
+    bam = os.path.join(workdir, "sample.bam")
+    eventsf = os.path.join(workdir, "events.json")
+    if os.path.exists(fasta) and os.path.exists(bam) and os.path.exists(eventsf):
+        # fixture cache hit (--keep reruns at WGS scale skip the multi-minute
+        # simulate+write; the event list is persisted alongside)
+        with open(eventsf) as fh:
+            events = [tuple(e) for e in json.load(fh)]
+        return fasta, bam, events, 0.0
+    genome = make_genome(fasta, chroms, seed=seed, fast=fast_genome)
     rng = random.Random(seed)
     events = []
     for c in chroms:
@@ -39,9 +48,10 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11):
             anchor = 60_000 + k * spacing + rng.randint(0, spacing // 4)
             events.append((KINDS[k % len(KINDS)], c, anchor,
                            rng.randint(100, 900)))
-    bam = os.path.join(workdir, "sample.bam")
     make_sv_bam(bam, genome, seed=seed + 1, support=8, events=events,
                 coverage=coverage)
+    with open(eventsf, "w") as fh:
+        json.dump(events, fh)
     return fasta, bam, events, time.time() - t0
 
 
@@ -56,7 +66,11 @@ def main():
     ap.add_argument("--model", default=None, help=".npz weights (default: "
                     "random init written to the workdir)")
     ap.add_argument("--keep", default=None, help="workdir to keep (default: "
-                    "a tmpdir, removed on exit)")
+                    "a tmpdir, removed on exit); reused as a fixture cache")
+    ap.add_argument("--fast-genome", action="store_true",
+                    help="numpy-based base generation (WGS-scale fixtures)")
+    ap.add_argument("--collect-only", action="store_true",
+                    help="stop after the collection stage (host-side stress)")
     args = ap.parse_args()
 
     import tempfile
@@ -66,7 +80,8 @@ def main():
     print(f"[sim] {args.chroms} x {args.mb} Mb @ {args.coverage}x, "
           f"{args.events_per_chrom} events/chrom -> {workdir}")
     genome, bam, events, t_sim = build_inputs(
-        workdir, args.chroms, args.mb, args.coverage, args.events_per_chrom)
+        workdir, args.chroms, args.mb, args.coverage, args.events_per_chrom,
+        fast_genome=args.fast_genome)
     bam_mb = os.path.getsize(bam) / 1e6
     print(f"[sim] done in {t_sim:.1f}s ({bam_mb:.1f} MB BAM)")
 
@@ -88,6 +103,44 @@ def main():
     options = cli.parse_arguments([
         "-o", outdir, "-b", bam, "-g", genome, "-m", weights,
         "-n", "e2e", "-s", str(args.support), "-t", str(args.threads)])
+
+    if args.collect_only:
+        # host-side stress: collection only, no device attach
+        import concurrent.futures
+        from svision_tpu.io.bam import BamReader
+        from svision_tpu.io.fasta import FastaFile
+        br = BamReader(bam); ref = FastaFile(genome)
+        tasks = cli.build_task_list(br, ref, options)
+        wins = [(c, p, s, e) for c, parts in tasks.items()
+                for p, (s, e) in enumerate(parts)]
+        n_reads = sum(m for _, m, _ in br.get_index_statistics())
+        t0 = time.time()
+        if args.threads > 1:
+            from svision_tpu.utils.hostpool import host_only_pool
+            pool = host_only_pool(args.threads)
+            futs = [pool.submit(cli._collect_worker,
+                                (options, bam, c, p, s, e))
+                    for c, p, s, e in wins]
+            res = [f.result() for f in futs]
+            pool.shutdown()
+        else:
+            from svision_tpu.collect.window import run_detect
+            res = [run_detect(options, bam, c, p, s, e, bam=br, ref=ref)
+                   for c, p, s, e in wins]
+        wall = time.time() - t0
+        report = {
+            "mode": "collect_only", "n_reads": n_reads,
+            "wall_s": round(wall, 1),
+            "reads_per_s": round(n_reads / wall, 1),
+            "windows": len(res),
+            "failed": sum(1 for r in res if r.error),
+            "signatures": sum(r.n_signatures for r in res),
+            "clusters": sum(r.n_clusters for r in res),
+            "candidates": sum(len(r.candidates) for r in res),
+        }
+        print(json.dumps(report, indent=2))
+        return
+
     vcf = cli.run_pipeline(options)
     wall = time.time() - t0
 

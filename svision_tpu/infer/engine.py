@@ -44,18 +44,22 @@ def _device_step(params, endpoints, visible, reverse,
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "raster_kind"))
 def _device_step_fast(folded_params, endpoints, visible, reverse,
-                      compute_dtype=jnp.bfloat16, raster_kind="einsum"):
+                      compute_dtype=jnp.bfloat16, raster_kind="compare"):
     """Fast path: {0,1} raster straight into the folded space-to-depth CNN
     (alexnet.fold_conv1_params) — no f32 image tensor in HBM.
 
-    raster_kind selects the encoder: 'einsum' (MXU one-hot contraction) or
-    'pallas' (VPU membership kernel, ops/pallas_raster.py)."""
+    raster_kind selects the encoder: 'compare' (elementwise VPU predicate,
+    the default), 'einsum' (MXU one-hot contraction) or 'pallas' (VPU
+    membership kernel, ops/pallas_raster.py)."""
     int8 = compute_dtype == jnp.int8
     raster_dtype = jnp.bfloat16 if int8 else compute_dtype
     if raster_kind == "pallas":
         from svision_tpu.ops.pallas_raster import render_raster_pallas
         raster = render_raster_pallas(endpoints, visible, reverse,
                                       dtype=raster_dtype)
+    elif raster_kind == "einsum":
+        raster = rasterize.render_raster_einsum(endpoints, visible, reverse,
+                                                dtype=raster_dtype)
     else:
         raster = rasterize.render_raster(endpoints, visible, reverse,
                                          dtype=raster_dtype)
@@ -74,7 +78,7 @@ def _device_step_fast(folded_params, endpoints, visible, reverse,
                    static_argnames=("compute_dtype", "fast", "raster_kind"))
 def _device_step_many(params, endpoints, visible, reverse,
                       compute_dtype=jnp.bfloat16, fast=True,
-                      raster_kind="einsum"):
+                      raster_kind="compare"):
     """Chunked dispatch: inputs [C, B, ...] -> (preds [C*B], softs [C*B]).
 
     A lax.scan over C batches inside ONE program: one host->device transfer
@@ -105,7 +109,7 @@ class InferenceEngine:
     dominate otherwise (profiled ~6x on the TPU tunnel)."""
 
     def __init__(self, params, batch_size: int = 128, bf16: bool = True,
-                 fast: bool = True, chunk: int = 128, raster: str = "einsum",
+                 fast: bool = True, chunk: int = 128, raster: str = "compare",
                  tail: Optional[str] = None, int8: bool = False, mesh=None):
         # mesh: optional jax.sharding.Mesh with a 'data' axis — batch rows
         # shard over it (data-parallel forward, params replicated; XLA needs
@@ -123,7 +127,7 @@ class InferenceEngine:
             self._sh_batch = self._sh_chunk = self._sh_repl = None
         self.batch_size = batch_size
         self.chunk = chunk              # batches per device dispatch
-        self.raster = raster            # 'einsum' (MXU) or 'pallas' (VPU)
+        self.raster = raster  # 'compare' (VPU predicate) | 'einsum' (MXU) | 'pallas'
         # int8 turbo: quantized MXU path (2x bf16 rate on v5e); jnp.int8 as
         # compute_dtype selects it inside the jitted steps
         self.int8 = int8 and bf16 and fast

@@ -11,10 +11,24 @@ import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from svision_tpu.io.bgzf import BgzfWriter
 from svision_tpu.io.bam import CIGAR_OPS, SEQ_NT
 
 _NT_CODE = {c: i for i, c in enumerate(SEQ_NT)}
+_NT_LUT = np.full(256, 15, np.uint8)
+for _c, _i in _NT_CODE.items():
+    _NT_LUT[ord(_c)] = _i
+
+
+def _pack_seq(seq: str) -> bytes:
+    """4-bit nibble packing, vectorized (the per-base Python loop made
+    WGS-scale fixture writes take hours)."""
+    a = _NT_LUT[np.frombuffer(seq.encode("ascii"), np.uint8)]
+    if len(a) % 2:
+        a = np.concatenate([a, np.zeros(1, np.uint8)])
+    return ((a[0::2] << 4) | a[1::2]).astype(np.uint8).tobytes()
 _OP_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
 _REF_CONSUME = frozenset("MDN=X")
 
@@ -96,11 +110,7 @@ def _encode_record(rec: SamRecord, tid: int) -> bytes:
                      (ref_span << 4) | _OP_CODE["N"]]
         tags = (tags + b"CGBI" + struct.pack("<i", len(real))
                 + struct.pack(f"<{len(real)}I", *real))
-    packed = bytearray()
-    for i in range(0, l_seq, 2):
-        hi = _NT_CODE.get(seq[i], 15)
-        lo = _NT_CODE.get(seq[i + 1], 15) if i + 1 < l_seq else 0
-        packed.append((hi << 4) | lo)
+    packed = _pack_seq(seq) if l_seq else b""
     qual = b"\xff" * l_seq  # 0xff = quality absent
 
     body = struct.pack(

@@ -252,6 +252,14 @@ def forward_raster(folded_params: Params, raster: jax.Array, *,
     return _backbone(folded_params, h, compute_dtype, conv1_s2d=True)
 
 
+def forward_s2d(folded_params: Params, h: jax.Array, *,
+                compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Logits from a raster already in space-to-depth layout [N,57,57,48]
+    (rasterize.render_raster_s2d) — skips the 4x4 block transpose."""
+    return _backbone(folded_params, h.astype(compute_dtype), compute_dtype,
+                     conv1_s2d=True)
+
+
 # ---------------------------------------------------------------------------
 # int8 turbo path: per-channel int8 weights + dynamic per-tensor activations
 # ---------------------------------------------------------------------------

@@ -42,6 +42,7 @@ from svision_tpu.models.alexnet import IMAGE_MEAN
 CANVAS = 227
 SEGS = 2          # candidate records carry exactly two segments
 MAX_STEPS = 227   # a clipped line has at most CANVAS pixels
+_S2D_F = 4        # space-to-depth factor (== alexnet._S2D)
 
 
 def specs_to_endpoints(specs: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -128,9 +129,138 @@ def render_raster(endpoints: jnp.ndarray, visible: jnp.ndarray,
                   reverse: jnp.ndarray, *, dtype=jnp.bfloat16) -> jnp.ndarray:
     """[N,SEGS,4] clipped endpoints -> {0,1} raster [N,227,227,3].
 
+    Comparison formulation (the fast default): for a Bresenham line the step
+    index IS the major-axis coordinate, so pixel (r,c) membership is a pure
+    elementwise predicate — no contraction, no scatter:
+
+      x-major:  lit(r,c) = c in [c0,c0+major]  and  r == r0 + sy*k(c-c0)
+      y-major:  lit(r,c) = sy*(r-r0) in [0,major] and c == c0 + k(sy*(r-r0))
+
+    with k(i) = max(0, ceil((2*minor*i - major)/(2*major))) — identical to
+    the closed-form walk in _line_walk, hence pixel-exact vs cv.line. This
+    replaced the one-hot einsum (render_raster_einsum): ~94 MFLOP/image of
+    MXU scatter-as-matmul became ~0.6 M elementwise VPU ops/image.
+
     The un-normalized form consumed by alexnet.forward_raster (the *255 and
     mean-subtract are folded into conv1 there); see render_images for the
     reference-normalized tensor."""
+    c0, r0, c1, r1 = (endpoints[..., i] for i in range(4))     # [N,S]
+    swap = c1 < c0
+    c0n = jnp.where(swap, c1, c0)
+    r0n = jnp.where(swap, r1, r0)
+    r1n = jnp.where(swap, r0, r1)
+    dx = jnp.where(swap, c0, c1) - c0n                         # >= 0
+    dy = r1n - r0n
+    sy = jnp.where(dy >= 0, 1, -1)
+    ady = jnp.abs(dy)
+    xmajor = dx >= ady
+    major = jnp.maximum(dx, ady)
+    minor = jnp.minimum(dx, ady)
+
+    t = jnp.arange(CANVAS, dtype=jnp.int32)
+    t = t.reshape((1,) * c0.ndim + (CANVAS,))                  # [1,1,T]
+
+    def k_of(i, minorb, majorb):
+        num = 2 * minorb * i - majorb
+        den = jnp.maximum(2 * majorb, 1)
+        return jnp.maximum(-((-num) // den), 0)
+
+    majorb = major[..., None]
+    minorb = minor[..., None]
+    seg_on = visible[..., None]
+
+    # x-major: index along columns
+    ix = t - c0n[..., None]                                    # [N,S,C]
+    row_at_c = r0n[..., None] + sy[..., None] * k_of(ix, minorb, majorb)
+    valid_x = (xmajor[..., None] & (ix >= 0) & (ix <= majorb) & seg_on)
+    # y-major: index along rows
+    iy = sy[..., None] * (t - r0n[..., None])                  # [N,S,R]
+    col_at_r = c0n[..., None] + k_of(iy, minorb, majorb)
+    valid_y = (~xmajor[..., None] & (iy >= 0) & (iy <= majorb) & seg_on)
+
+    # plane[n,s,r,c] = lit pixel of segment s
+    plane = ((valid_x[..., None, :] & (t[..., None] == row_at_c[..., None, :]))
+             | (valid_y[..., None] & (t[..., None, :] == col_at_r[..., None])))
+
+    ch0 = jnp.any(plane, axis=1)                               # [N,R,C]
+    ch2 = jnp.any(plane & reverse[..., None, None], axis=1)
+    # duplication channel: columns (ref axis) with >=2 lit rows
+    # (plot_segment.py:59-65)
+    col_rows = jnp.sum(ch0.astype(jnp.int32), axis=1, keepdims=True)
+    ch1 = ch0 & (col_rows >= 2)
+    return jnp.stack([ch0, ch1, ch2], axis=-1).astype(dtype)
+
+
+def render_raster_s2d(endpoints: jnp.ndarray, visible: jnp.ndarray,
+                      reverse: jnp.ndarray, *, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Comparison raster emitted DIRECTLY in conv1's space-to-depth layout:
+    [N,57,57,48] with channel = (p*4+q)*3 + ch for pixel (4R+p, 4C+q).
+
+    Bitwise-identical to alexnet._space_to_depth(render_raster(...)) but
+    never materializes the [N,227,227,3] image and never runs the 4x4
+    block transpose: the broadcasting axes are ordered [N,R,C,p,q,ch] from
+    the start, so the final reshape is free. Rows/cols 227 (the s2d pad
+    line) stay dark automatically: clipped endpoints are <= 226, so no
+    membership predicate can fire there."""
+    c0, r0, c1, r1 = (endpoints[..., i] for i in range(4))     # [N,S]
+    swap = c1 < c0
+    c0n = jnp.where(swap, c1, c0)
+    r0n = jnp.where(swap, r1, r0)
+    r1n = jnp.where(swap, r0, r1)
+    dx = jnp.where(swap, c0, c1) - c0n
+    dy = r1n - r0n
+    sy = jnp.where(dy >= 0, 1, -1)
+    ady = jnp.abs(dy)
+    xmajor = dx >= ady
+    major = jnp.maximum(dx, ady)
+    minor = jnp.minimum(dx, ady)
+
+    blocks = (CANVAS + _S2D_F - 1) // _S2D_F                   # 57
+    bc = jnp.arange(blocks, dtype=jnp.int32)
+    sub = jnp.arange(_S2D_F, dtype=jnp.int32)
+    grid = _S2D_F * bc[:, None] + sub[None, :]                 # [57,4] coords
+
+    def k_of(i, minorb, majorb):
+        num = 2 * minorb * i - majorb
+        den = jnp.maximum(2 * majorb, 1)
+        return jnp.maximum(-((-num) // den), 0)
+
+    e = (..., None, None)          # [N,S] -> [N,S,1,1]
+    seg_on = visible[e]
+    majorb = major[e]
+    minorb = minor[e]
+
+    # x-major, indexed by column cc = 4C+q: row_at [N,S,C,q]
+    ix = grid[None, None] - c0n[e]
+    row_at = r0n[e] + sy[e] * k_of(ix, minorb, majorb)
+    valid_x = xmajor[e] & (ix >= 0) & (ix <= majorb) & seg_on
+    # y-major, indexed by row rr = 4R+p: col_at [N,S,R,p]
+    iy = sy[e] * (grid[None, None] - r0n[e])
+    col_at = c0n[e] + k_of(iy, minorb, majorb)
+    valid_y = ~xmajor[e] & (iy >= 0) & (iy <= majorb) & seg_on
+
+    # plane [N,S,R,C,p,q]
+    rr = grid.reshape(1, 1, blocks, 1, _S2D_F, 1)              # 4R+p
+    cc = grid.reshape(1, 1, 1, blocks, 1, _S2D_F)              # 4C+q
+    ax = (slice(None), slice(None), None, slice(None), None, slice(None))
+    ay = (slice(None), slice(None), slice(None), None, slice(None), None)
+    plane = ((valid_x[ax] & (rr == row_at[ax]))
+             | (valid_y[ay] & (cc == col_at[ay])))
+
+    ch0 = jnp.any(plane, axis=1)                               # [N,R,C,p,q]
+    ch2 = jnp.any(plane & reverse[:, :, None, None, None, None], axis=1)
+    col_rows = jnp.sum(ch0.astype(jnp.int32), axis=(1, 3))     # [N,C,q]
+    ch1 = ch0 & (col_rows[:, None, :, None, :] >= 2)
+
+    n = ch0.shape[0]
+    out = jnp.stack([ch0, ch1, ch2], axis=-1)                  # [N,R,C,p,q,3]
+    return out.reshape(n, blocks, blocks, _S2D_F * _S2D_F * 3).astype(dtype)
+
+
+def render_raster_einsum(endpoints: jnp.ndarray, visible: jnp.ndarray,
+                         reverse: jnp.ndarray, *, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """One-hot-contraction raster (the original MXU formulation); kept as a
+    cross-check and for hardware where the matmul path wins."""
     n = endpoints.shape[0]
     cols, rows, valid = _line_walk(endpoints)          # [N,S,T]
     valid = valid & visible[..., None]

@@ -170,3 +170,21 @@ def test_sentinel_pad_row():
     img = rasterize.encode_batch(spec)
     want = _reference_image([int(v) for v in spec[0]])
     np.testing.assert_array_equal(img[0], want)
+
+
+def test_raster_formulations_agree():
+    """compare (elementwise), einsum (MXU one-hot) and s2d-direct must be
+    bitwise-identical views of the same pixel set."""
+    from svision_tpu.models.alexnet import _space_to_depth
+    rng = np.random.RandomState(11)
+    specs = _random_specs(rng, 128)
+    ep, vis, rev = rasterize.specs_to_endpoints(specs)
+    ep, vis, rev = jnp.asarray(ep), jnp.asarray(vis), jnp.asarray(rev)
+    a = np.asarray(rasterize.render_raster(ep, vis, rev, dtype=jnp.float32))
+    b = np.asarray(rasterize.render_raster_einsum(ep, vis, rev,
+                                                  dtype=jnp.float32))
+    np.testing.assert_array_equal(a, b)
+    want = np.asarray(_space_to_depth(jnp.asarray(a)))
+    got = np.asarray(rasterize.render_raster_s2d(ep, vis, rev,
+                                                 dtype=jnp.float32))
+    np.testing.assert_array_equal(want, got)
