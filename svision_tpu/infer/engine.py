@@ -44,15 +44,25 @@ def _device_step(params, endpoints, visible, reverse,
 
 @functools.partial(jax.jit, static_argnames=("compute_dtype", "raster_kind"))
 def _device_step_fast(folded_params, endpoints, visible, reverse,
-                      compute_dtype=jnp.bfloat16, raster_kind="compare"):
+                      compute_dtype=jnp.bfloat16, raster_kind="s2d"):
     """Fast path: {0,1} raster straight into the folded space-to-depth CNN
     (alexnet.fold_conv1_params) — no f32 image tensor in HBM.
 
-    raster_kind selects the encoder: 'compare' (elementwise VPU predicate,
-    the default), 'einsum' (MXU one-hot contraction) or 'pallas' (VPU
+    raster_kind selects the encoder: 's2d' (elementwise predicate emitted
+    directly in conv1's space-to-depth layout — the default, 73.8k images/s
+    on v5e vs 55.5k for the round-1 einsum), 'compare' (same predicate in
+    image layout), 'einsum' (MXU one-hot contraction) or 'pallas' (VPU
     membership kernel, ops/pallas_raster.py)."""
     int8 = compute_dtype == jnp.int8
     raster_dtype = jnp.bfloat16 if int8 else compute_dtype
+    if raster_kind == "s2d" and not int8:
+        h = rasterize.render_raster_s2d(endpoints, visible, reverse,
+                                        dtype=raster_dtype)
+        logits = alexnet.forward_s2d(folded_params, h,
+                                     compute_dtype=compute_dtype)
+        pred = jnp.argmax(logits, axis=1)
+        soft = jax.nn.softmax(logits, axis=1)
+        return pred, jnp.max(soft, axis=1)
     if raster_kind == "pallas":
         from svision_tpu.ops.pallas_raster import render_raster_pallas
         raster = render_raster_pallas(endpoints, visible, reverse,
@@ -78,7 +88,7 @@ def _device_step_fast(folded_params, endpoints, visible, reverse,
                    static_argnames=("compute_dtype", "fast", "raster_kind"))
 def _device_step_many(params, endpoints, visible, reverse,
                       compute_dtype=jnp.bfloat16, fast=True,
-                      raster_kind="compare"):
+                      raster_kind="s2d"):
     """Chunked dispatch: inputs [C, B, ...] -> (preds [C*B], softs [C*B]).
 
     A lax.scan over C batches inside ONE program: one host->device transfer
@@ -109,7 +119,7 @@ class InferenceEngine:
     dominate otherwise (profiled ~6x on the TPU tunnel)."""
 
     def __init__(self, params, batch_size: int = 128, bf16: bool = True,
-                 fast: bool = True, chunk: int = 128, raster: str = "compare",
+                 fast: bool = True, chunk: int = 128, raster: str = "s2d",
                  tail: Optional[str] = None, int8: bool = False, mesh=None):
         # mesh: optional jax.sharding.Mesh with a 'data' axis — batch rows
         # shard over it (data-parallel forward, params replicated; XLA needs
@@ -127,7 +137,7 @@ class InferenceEngine:
             self._sh_batch = self._sh_chunk = self._sh_repl = None
         self.batch_size = batch_size
         self.chunk = chunk              # batches per device dispatch
-        self.raster = raster  # 'compare' (VPU predicate) | 'einsum' (MXU) | 'pallas'
+        self.raster = raster  # 's2d' (default) | 'compare' | 'einsum' | 'pallas'
         # int8 turbo: quantized MXU path (2x bf16 rate on v5e); jnp.int8 as
         # compute_dtype selects it inside the jitted steps
         self.int8 = int8 and bf16 and fast
@@ -286,34 +296,38 @@ class InferenceEngine:
                 chunks.append(min(c, self.chunk))
 
         specs = self._pad(specs, bs * (sum(chunks) + singles))
-        ep, vis, rev = rasterize.specs_to_endpoints(specs)
-        # ONE host->device transfer per array, pre-shaped [n_batches, bs, ...]
-        # so per-chunk slices ride dim 0 (unsharded under a mesh) and stay
-        # device-side async. Per-transfer round-trip latency on a tunneled
-        # link dominates the tiny payload (~36 B/spec), so 3 transfers total
-        # instead of 3 per super-chunk.
-        nb = specs.shape[0] // bs
-        ep_d = self._put_chunked(ep.reshape(nb, bs, *ep.shape[1:]))
-        vis_d = self._put_chunked(vis.reshape(nb, bs, *vis.shape[1:]))
-        rev_d = self._put_chunked(rev.reshape(nb, bs, *rev.shape[1:]))
+        # Per-super-chunk host preprocessing + transfer + async dispatch:
+        # the device starts on chunk 0 while the host computes chunk 1's
+        # endpoints (specs_to_endpoints for a full call was ~50 ms of dead
+        # time ahead of ~900 ms of queued device work when hoisted).
+        # Transfers are tiny (~36 B/spec) and enqueue asynchronously.
         outs = []
         i = 0
         for c in chunks:
+            rows = specs[i * bs:(i + c) * bs]
+            ep, vis, rev = rasterize.specs_to_endpoints(rows)
+            ep_d = self._put_chunked(ep.reshape(c, bs, *ep.shape[1:]))
+            vis_d = self._put_chunked(vis.reshape(c, bs, *vis.shape[1:]))
+            rev_d = self._put_chunked(rev.reshape(c, bs, *rev.shape[1:]))
             outs.append(_device_step_many(
-                self._run_params,
-                ep_d[i:i + c], vis_d[i:i + c], rev_d[i:i + c],
+                self._run_params, ep_d, vis_d, rev_d,
                 compute_dtype=self.compute_dtype, fast=self.fast,
                 raster_kind=self.raster))
             i += c
         for _ in range(singles):
+            rows = specs[i * bs:(i + 1) * bs]
+            ep, vis, rev = rasterize.specs_to_endpoints(rows)
+            ep_d = self._put_batch(ep)
+            vis_d = self._put_batch(vis)
+            rev_d = self._put_batch(rev)
             if self.fast:
                 outs.append(_device_step_fast(
-                    self.folded_params, ep_d[i], vis_d[i], rev_d[i],
+                    self.folded_params, ep_d, vis_d, rev_d,
                     compute_dtype=self.compute_dtype,
                     raster_kind=self.raster))
             else:
                 outs.append(_device_step(
-                    self.params, ep_d[i], vis_d[i], rev_d[i],
+                    self.params, ep_d, vis_d, rev_d,
                     compute_dtype=self.compute_dtype))
             i += 1
         preds = np.concatenate([np.asarray(p) for p, _ in outs])
