@@ -1,0 +1,222 @@
+"""First-party truvari-style SV benchmarking (VCF vs VCF).
+
+The reference's published accuracy numbers come from external truvari runs
+against GIAB HG002 Tier-1 and PAV assembly callsets (SURVEY.md §6;
+`supports/performance/*.png`), but the reference repo ships no evaluation
+code at all. This module is the checked-in equivalent: it scores a comparison
+VCF against a truth ("base") VCF under truvari-bench's default matching
+semantics, so external-callset calibration is runnable the moment a truth
+VCF is available (GIAB Tier-1, a PAV callset, or another caller's output).
+
+Implemented matching rules (truvari bench defaults):
+  * entries enter comparison if sizemin <= |SVLEN| <= sizemax (truth side;
+    comparison side uses the looser sizefilt lower bound) and, with
+    --passonly, FILTER is PASS/'.'
+  * a (base, comp) pair is a candidate when their breakpoints are within
+    `refdist` (start-to-start or end-to-end) or their spans overlap
+  * PctSizeSimilarity  = min(|len|)/max(|len|)        >= pctsize
+  * PctRecOverlap      = reciprocal span overlap      >= pctovl (non-INS)
+  * sequence similarity (difflib ratio on ALT/REF)    >= pctseq, only when
+    pctseq > 0 and both entries carry sequence
+  * SVTYPE must match unless typeignore (DUP and tDUP are treated as one
+    type family, mirroring evaluate._COMPATIBLE / refine_type semantics)
+  * greedy one-to-one assignment by descending match score
+    (mean of the enabled similarity terms, distance as tiebreaker)
+
+Counters follow truvari's definitions: recall = TP_base/(TP_base+FN) over
+truth entries, precision = TP_comp/(TP_comp+FP) over comparison entries.
+
+This is a clean-room implementation of the published matching semantics —
+no truvari code was consulted.
+"""
+
+from __future__ import annotations
+
+import difflib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+_TYPE_FAMILY = {"TDUP": "DUP", "DUP:TANDEM": "DUP", "DUP:INT": "DUP"}
+
+
+def _canon_type(t: str) -> str:
+    t = t.upper().lstrip("<").rstrip(">")
+    return _TYPE_FAMILY.get(t, t)
+
+
+@dataclass
+class SvEntry:
+    chrom: str
+    start: int           # 1-based POS
+    end: int
+    svtype: str
+    svlen: int           # absolute length
+    filter: str
+    seq: Optional[str] = None    # ALT sequence for sequence-resolved INS
+    gt: Optional[str] = None
+    line_no: int = 0
+    types: Tuple[str, ...] = field(default_factory=tuple)  # CSV components
+
+
+def parse_sv_entries(vcf_path: str) -> List[SvEntry]:
+    """Minimal SV-aware VCF reader (plain or bgzipped path already opened
+    upstream; here: plain text)."""
+    out: List[SvEntry] = []
+    sample_idx = 9
+    for ln, line in enumerate(open(vcf_path)):
+        if line.startswith("#") or not line.strip():
+            continue
+        f = line.rstrip("\n").split("\t")
+        chrom, pos, _id, ref, alt = f[0], int(f[1]), f[2], f[3], f[4]
+        filt = f[6] if len(f) > 6 else "."
+        info = dict(kv.split("=", 1) for kv in (f[7].split(";") if len(f) > 7
+                                                else []) if "=" in kv)
+        svtype = info.get("SVTYPE", "")
+        if not svtype:
+            # sequence-resolved record: derive type from allele lengths
+            if len(alt) > len(ref):
+                svtype = "INS"
+            elif len(ref) > len(alt):
+                svtype = "DEL"
+            else:
+                continue
+        end = int(info.get("END", pos))
+        svlen = info.get("SVLEN")
+        if svlen is not None:
+            try:
+                svlen = abs(int(float(svlen.split(",")[0])))
+            except ValueError:
+                svlen = None
+        if svlen is None:
+            if svtype == "INS" and len(alt) > 1 and alt[0] != "<":
+                svlen = abs(len(alt) - len(ref))
+            else:
+                svlen = max(end - pos, 0)
+        seq = None
+        if alt and alt[0] != "<" and "," not in alt and len(alt) > 1:
+            seq = alt
+        gt = None
+        if len(f) > sample_idx and f[8].split(":")[0] == "GT":
+            gt = f[sample_idx].split(":")[0]
+        comps = tuple(_canon_type(t) for t in svtype.split("+") if t)
+        out.append(SvEntry(chrom, pos, end, _canon_type(svtype.split("+")[0]),
+                           int(svlen), filt, seq, gt, ln,
+                           comps or (_canon_type(svtype),)))
+    return out
+
+
+def _seq_similarity(a: Optional[str], b: Optional[str]) -> Optional[float]:
+    if not a or not b:
+        return None
+    return difflib.SequenceMatcher(None, a, b).ratio()
+
+
+def _rec_overlap(a: SvEntry, b: SvEntry) -> float:
+    """Reciprocal span overlap in [0,1]; spans widened to >=1 bp."""
+    a0, a1 = a.start, max(a.end, a.start + 1)
+    b0, b1 = b.start, max(b.end, b.start + 1)
+    inter = min(a1, b1) - max(a0, b0)
+    if inter <= 0:
+        return 0.0
+    return inter / max(a1 - a0, b1 - b0)
+
+
+def match_score(base: SvEntry, comp: SvEntry, refdist: int, pctsize: float,
+                pctovl: float, pctseq: float, typeignore: bool
+                ) -> Optional[Tuple[float, int]]:
+    """(score, distance) if the pair satisfies every enabled threshold."""
+    if base.chrom != comp.chrom:
+        return None
+    dist = min(abs(base.start - comp.start), abs(base.end - comp.end))
+    overlaps = (base.start <= comp.end and comp.start <= base.end)
+    if dist > refdist and not overlaps:
+        return None
+    if not typeignore:
+        if not (set(base.types) & set(comp.types)):
+            return None
+    terms: List[float] = []
+    mx = max(base.svlen, comp.svlen)
+    size_sim = (min(base.svlen, comp.svlen) / mx) if mx else 1.0
+    if size_sim < pctsize:
+        return None
+    terms.append(size_sim)
+    if base.svtype != "INS":
+        ovl = _rec_overlap(base, comp)
+        if ovl < pctovl:
+            return None
+        terms.append(ovl)
+    if pctseq > 0:
+        sim = _seq_similarity(base.seq, comp.seq)
+        if sim is not None:
+            if sim < pctseq:
+                return None
+            terms.append(sim)
+    return sum(terms) / len(terms), dist
+
+
+def bench(base_vcf: str, comp_vcf: str, *, refdist: int = 500,
+          pctsize: float = 0.7, pctovl: float = 0.0, pctseq: float = 0.0,
+          sizemin: int = 50, sizefilt: int = 30, sizemax: int = 50_000,
+          passonly: bool = False, typeignore: bool = False,
+          gt_compare: bool = False) -> Dict:
+    """truvari-bench-equivalent comparison of two VCFs; returns the summary
+    dict (tp_base/tp_comp/fp/fn, precision/recall/f1, per-type breakdown,
+    optional GT concordance over TPs)."""
+    def keep(e: SvEntry, lo: int) -> bool:
+        if passonly and e.filter not in ("PASS", "."):
+            return False
+        return lo <= e.svlen <= sizemax
+
+    base = [e for e in parse_sv_entries(base_vcf) if keep(e, sizemin)]
+    comp = [e for e in parse_sv_entries(comp_vcf) if keep(e, sizefilt)]
+
+    # score all candidate pairs, then greedy one-to-one by best score
+    pairs: List[Tuple[float, int, int, int]] = []
+    for bi, b in enumerate(base):
+        for ci, c in enumerate(comp):
+            sc = match_score(b, c, refdist, pctsize, pctovl, pctseq,
+                             typeignore)
+            if sc is not None:
+                pairs.append((sc[0], -sc[1], bi, ci))
+    pairs.sort(reverse=True)
+    base_hit = [False] * len(base)
+    comp_hit = [False] * len(comp)
+    gt_conc = 0
+    matches: List[Tuple[int, int]] = []
+    for _score, _negd, bi, ci in pairs:
+        if base_hit[bi] or comp_hit[ci]:
+            continue
+        base_hit[bi] = comp_hit[ci] = True
+        matches.append((bi, ci))
+        if gt_compare and base[bi].gt and comp[ci].gt:
+            norm = lambda g: tuple(sorted(g.replace("|", "/").split("/")))
+            gt_conc += norm(base[bi].gt) == norm(comp[ci].gt)
+
+    tp_base = sum(base_hit)
+    tp_comp = sum(comp_hit)
+    fn = len(base) - tp_base
+    fp = len(comp) - tp_comp
+    precision = tp_comp / (tp_comp + fp) if (tp_comp + fp) else 0.0
+    recall = tp_base / (tp_base + fn) if (tp_base + fn) else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+
+    per_type: Dict[str, Dict[str, int]] = {}
+    for e, hit in zip(base, base_hit):
+        d = per_type.setdefault(e.svtype, {"tp": 0, "fn": 0, "fp": 0})
+        d["tp" if hit else "fn"] += 1
+    for e, hit in zip(comp, comp_hit):
+        if not hit:
+            per_type.setdefault(e.svtype, {"tp": 0, "fn": 0, "fp": 0})["fp"] += 1
+
+    out = dict(base_cnt=len(base), comp_cnt=len(comp), tp_base=tp_base,
+               tp_comp=tp_comp, fp=fp, fn=fn,
+               precision=round(precision, 4), recall=round(recall, 4),
+               f1=round(f1, 4), per_type=per_type,
+               params=dict(refdist=refdist, pctsize=pctsize, pctovl=pctovl,
+                           pctseq=pctseq, sizemin=sizemin, sizefilt=sizefilt,
+                           sizemax=sizemax, passonly=passonly,
+                           typeignore=typeignore))
+    if gt_compare:
+        out["gt_concordance"] = round(gt_conc / tp_base, 4) if tp_base else 0.0
+    return out

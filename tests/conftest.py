@@ -33,7 +33,7 @@ SMOKE_MODULES = {
     "test_callset_cluster", "test_cluster", "test_collect_parity",
     "test_dotplot", "test_fast_inflate", "test_graph_parity",
     "test_graph_scale", "test_hashplot", "test_prefilter", "test_rasterize",
-    "test_tabix",
+    "test_tabix", "test_truvari",
 }
 
 

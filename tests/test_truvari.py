@@ -1,0 +1,138 @@
+"""Matching-semantics tests for the first-party truvari-style benchmarker
+(svision_tpu/truvari.py) — the external-callset calibration recipe
+(SURVEY.md §6; VERDICT round-1 'missing' #3)."""
+import os
+
+from svision_tpu.truvari import bench, parse_sv_entries, SvEntry, match_score
+
+HDR = ("##fileformat=VCFv4.2\n"
+       "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS\n")
+
+
+def _vcf(tmp_path, name, rows):
+    p = os.path.join(str(tmp_path), name)
+    with open(p, "w") as fh:
+        fh.write(HDR)
+        for r in rows:
+            fh.write("\t".join(str(x) for x in r) + "\n")
+    return p
+
+
+def _row(chrom, pos, svtype, svlen, end=None, filt="PASS", gt="0/1",
+         alt=None):
+    end = end if end is not None else (pos + svlen if svtype != "INS"
+                                       else pos)
+    info = f"SVTYPE={svtype};END={end};SVLEN={svlen}"
+    return (chrom, pos, ".", "N", alt or f"<{svtype}>", 30, filt, info,
+            "GT", gt)
+
+
+def test_parse_entries(tmp_path):
+    p = _vcf(tmp_path, "a.vcf", [
+        _row("chr1", 1000, "DEL", 300),
+        _row("chr1", 5000, "INS", 200),
+        ("chr1", 9000, ".", "N", "N" + "A" * 120, 30, "PASS",
+         "END=9000", "GT", "1/1"),           # sequence-resolved INS
+    ])
+    es = parse_sv_entries(p)
+    assert [e.svtype for e in es] == ["DEL", "INS", "INS"]
+    assert es[2].svlen == 120 and es[2].seq.startswith("NA")
+    assert es[0].gt == "0/1" and es[2].gt == "1/1"
+
+
+def test_exact_and_refdist_matching(tmp_path):
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 10_000, "DEL", 400)])
+    comp = _vcf(tmp_path, "c.vcf", [_row("chr1", 10_450, "DEL", 400)])
+    r = bench(base, comp)           # 450 <= refdist 500
+    assert r["tp_base"] == 1 and r["fp"] == 0 and r["f1"] == 1.0
+    comp2 = _vcf(tmp_path, "c2.vcf", [_row("chr1", 11_200, "DEL", 400)])
+    r2 = bench(base, comp2)         # 1200 > 500 and spans disjoint
+    assert r2["tp_base"] == 0 and r2["fp"] == 1 and r2["fn"] == 1
+
+
+def test_size_similarity_threshold(tmp_path):
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 10_000, "DEL", 1000)])
+    ok = _vcf(tmp_path, "ok.vcf", [_row("chr1", 10_000, "DEL", 700)])
+    bad = _vcf(tmp_path, "bad.vcf", [_row("chr1", 10_000, "DEL", 600)])
+    assert bench(base, ok)["tp_base"] == 1      # 0.7 ratio passes
+    assert bench(base, bad)["tp_base"] == 0     # 0.6 fails pctsize
+
+
+def test_type_must_match_unless_ignored(tmp_path):
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 10_000, "DEL", 400)])
+    comp = _vcf(tmp_path, "c.vcf", [_row("chr1", 10_000, "INV", 400)])
+    assert bench(base, comp)["tp_base"] == 0
+    assert bench(base, comp, typeignore=True)["tp_base"] == 1
+
+
+def test_dup_tdup_one_family(tmp_path):
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 10_000, "DUP", 400)])
+    comp = _vcf(tmp_path, "c.vcf", [_row("chr1", 10_000, "tDUP", 400)])
+    assert bench(base, comp)["tp_base"] == 1
+
+
+def test_one_to_one_greedy(tmp_path):
+    # two truth DELs, one call between them: exactly one TP, one FN
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 10_000, "DEL", 400),
+                                    _row("chr1", 10_300, "DEL", 400)])
+    comp = _vcf(tmp_path, "c.vcf", [_row("chr1", 10_050, "DEL", 400)])
+    r = bench(base, comp)
+    assert r["tp_base"] == 1 and r["fn"] == 1 and r["fp"] == 0
+    # the closer base entry must be the matched one
+    assert r["per_type"]["DEL"] == {"tp": 1, "fn": 1, "fp": 0}
+
+
+def test_size_filters_and_passonly(tmp_path):
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 10_000, "DEL", 40),
+                                    _row("chr1", 20_000, "DEL", 400)])
+    comp = _vcf(tmp_path, "c.vcf", [
+        _row("chr1", 20_000, "DEL", 400, filt="q5"),
+    ])
+    r = bench(base, comp)            # 40 bp truth below sizemin: excluded
+    assert r["base_cnt"] == 1 and r["tp_base"] == 1
+    r2 = bench(base, comp, passonly=True)
+    assert r2["comp_cnt"] == 0 and r2["fn"] == 1
+
+
+def test_pctseq_gates_when_sequences_present(tmp_path):
+    seq_a = "N" + "ACGT" * 30
+    seq_b = "N" + "ACGT" * 30          # identical
+    seq_c = "N" + "TTTT" * 30          # dissimilar, same length
+    base = _vcf(tmp_path, "b.vcf",
+                [_row("chr1", 10_000, "INS", 120, alt=seq_a)])
+    same = _vcf(tmp_path, "s.vcf",
+                [_row("chr1", 10_000, "INS", 120, alt=seq_b)])
+    diff = _vcf(tmp_path, "d.vcf",
+                [_row("chr1", 10_000, "INS", 120, alt=seq_c)])
+    assert bench(base, same, pctseq=0.7)["tp_base"] == 1
+    assert bench(base, diff, pctseq=0.7)["tp_base"] == 0
+    assert bench(base, diff, pctseq=0.0)["tp_base"] == 1   # disabled
+
+
+def test_gt_concordance(tmp_path):
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 1_000, "DEL", 400, gt="0/1"),
+                                    _row("chr1", 9_000, "DEL", 400, gt="1/1")])
+    comp = _vcf(tmp_path, "c.vcf", [_row("chr1", 1_000, "DEL", 400, gt="1/0"),
+                                    _row("chr1", 9_000, "DEL", 400, gt="0/1")])
+    r = bench(base, comp, gt_compare=True)
+    assert r["tp_base"] == 2
+    assert r["gt_concordance"] == 0.5     # 1/0 == 0/1 normalized; 0/1 != 1/1
+
+
+def test_ins_no_overlap_requirement(tmp_path):
+    # INS entries have zero span; matching must ride refdist alone
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 10_000, "INS", 200)])
+    comp = _vcf(tmp_path, "c.vcf", [_row("chr1", 10_400, "INS", 200)])
+    assert bench(base, comp, pctovl=0.5)["tp_base"] == 1
+
+
+def test_pipeline_vcf_scores_against_itself():
+    """The real pipeline VCF from the closed-loop/e2e fixtures must parse and
+    self-match perfectly (smoke of the INFO conventions we emit)."""
+    vcf = "/tmp/wgs_fixture/out/e2e.svision.s3.vcf"
+    if not os.path.exists(vcf):
+        import pytest
+        pytest.skip("WGS fixture VCF not present")
+    r = bench(vcf, vcf, sizefilt=50)
+    assert r["base_cnt"] == r["comp_cnt"] > 0
+    assert r["f1"] == 1.0
