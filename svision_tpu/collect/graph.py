@@ -81,6 +81,40 @@ def _overlap_ratio_nodes(base: Node, target: Optional[Node],
     return 0
 
 
+def _align_node(align, node_id: str, host: Optional[str] = None) -> Node:
+    """Node from an alignment-segment dict (host defaults to its chrom)."""
+    return Node(align["ref_chr"], align["ref_start"], align["ref_end"],
+                align["q_start"], align["q_end"], align["read_seq"],
+                align["is_reverse"], node_id,
+                align["ref_chr"] if host is None else host)
+
+
+def _dup_split(cur_align, next_align, dup_len: int):
+    """Ref-overlap between the two mains: the first `dup_len` read bases of
+    `next` re-traverse reference already covered by `cur`. Split them off as
+    a helper duplication segment and return (dup_seg, remainder). Both halves
+    inherit qual/ref_id/strand/read_name from CUR, not next — a reference
+    quirk kept for GFA identity (graph.py:322-357); the remainder shifts by
+    dup_len+1 on both axes."""
+    base = dict(ref_chr=next_align["ref_chr"], qual=cur_align["qual"],
+                ref_id=cur_align["ref_id"],
+                is_reverse=cur_align["is_reverse"],
+                read_name=cur_align["read_name"])
+    dup = dict(base,
+               q_start=next_align["q_start"],
+               q_end=next_align["q_start"] + dup_len,
+               ref_start=next_align["ref_start"],
+               ref_end=next_align["ref_start"] + dup_len,
+               read_seq=next_align["read_seq"][:dup_len])
+    rest = dict(base,
+                q_start=next_align["q_start"] + dup_len + 1,
+                q_end=next_align["q_end"],
+                ref_start=next_align["ref_start"] + dup_len + 1,
+                ref_end=next_align["ref_end"],
+                read_seq=next_align["read_seq"][dup_len:])
+    return dup, rest
+
+
 def generate_graph(cur_align, next_align, help_aligns, min_sv_size,
                    whole_read_seq, ref, qname, next_is_last=True) -> Graph:
     """Build the per-read breakpoint graph for a main pair + helpers
@@ -90,11 +124,7 @@ def generate_graph(cur_align, next_align, help_aligns, min_sv_size,
     skeleton: List[Node] = []
     inserts: List[Node] = []
 
-    cur_node = Node(cur_align["ref_chr"], cur_align["ref_start"],
-                    cur_align["ref_end"], cur_align["q_start"],
-                    cur_align["q_end"], cur_align["read_seq"],
-                    cur_align["is_reverse"], f"S{skeleton_num}",
-                    cur_align["ref_chr"])
+    cur_node = _align_node(cur_align, f"S{skeleton_num}")
     skeleton.append(cur_node)
     skeleton_num += 1
 
@@ -103,55 +133,25 @@ def generate_graph(cur_align, next_align, help_aligns, min_sv_size,
 
     if distance_on_ref <= -min_sv_size:
         # ref overlap: split next into dup part + remainder (graph.py:318-359)
-        dup_seg = {
-            "ref_chr": next_align["ref_chr"],
-            "q_start": next_align["q_start"],
-            "q_end": next_align["q_start"] + dup_len,
-            "qual": cur_align["qual"],
-            "ref_id": cur_align["ref_id"],
-            "read_seq": next_align["read_seq"][0:dup_len],
-            "ref_start": next_align["ref_start"],
-            "ref_end": next_align["ref_start"] + dup_len,
-            "is_reverse": cur_align["is_reverse"],
-            "read_name": cur_align["read_name"],
-        }
+        dup_seg, new_next = _dup_split(cur_align, next_align, dup_len)
         help_aligns.append(dup_seg)
-        new_next = {
-            "ref_chr": next_align["ref_chr"],
-            "q_start": next_align["q_start"] + dup_len + 1,
-            "q_end": next_align["q_end"],
-            "qual": cur_align["qual"],
-            "ref_id": cur_align["ref_id"],
-            "read_seq": next_align["read_seq"][dup_len:],
-            "ref_start": next_align["ref_start"] + dup_len + 1,
-            "ref_end": next_align["ref_end"],
-            "is_reverse": cur_align["is_reverse"],
-            "read_name": cur_align["read_name"],
-        }
         if new_next["ref_start"] < new_next["ref_end"]:
-            next_node = Node(new_next["ref_chr"], new_next["ref_start"],
-                             new_next["ref_end"], new_next["q_start"],
-                             new_next["q_end"], new_next["read_seq"],
-                             new_next["is_reverse"], f"S{skeleton_num}",
-                             new_next["ref_chr"])
+            next_node = _align_node(new_next, f"S{skeleton_num}")
             skeleton.append(next_node)
             skeleton_num += 1
         elif next_is_last:
             next_node = None
         else:
-            next_node = Node(new_next["ref_chr"], new_next["ref_start"],
-                             new_next["ref_start"] + 500, new_next["q_start"],
-                             new_next["q_start"] + 500, new_next["read_seq"],
-                             new_next["is_reverse"], f"S{skeleton_num}",
-                             new_next["ref_chr"])
+            # fully-consumed remainder mid-read: keep a fixed 500 bp stub so
+            # downstream edges have an anchor (graph.py:344-356)
+            stub = dict(new_next,
+                        ref_end=new_next["ref_start"] + 500,
+                        q_end=new_next["q_start"] + 500)
+            next_node = _align_node(stub, f"S{skeleton_num}")
             skeleton.append(next_node)
             skeleton_num += 1
     else:
-        next_node = Node(next_align["ref_chr"], next_align["ref_start"],
-                         next_align["ref_end"], next_align["q_start"],
-                         next_align["q_end"], next_align["read_seq"],
-                         next_align["is_reverse"], f"S{skeleton_num}",
-                         next_align["ref_chr"])
+        next_node = _align_node(next_align, f"S{skeleton_num}")
         skeleton.append(next_node)
         skeleton_num += 1
 
@@ -159,9 +159,7 @@ def generate_graph(cur_align, next_align, help_aligns, min_sv_size,
     left_most = cur_align["ref_start"]
     right_most = next_align["ref_end"]
     for align in help_aligns:
-        tmp = Node(align["ref_chr"], align["ref_start"], align["ref_end"],
-                   align["q_start"], align["q_end"], align["read_seq"],
-                   align["is_reverse"], "None", align["read_name"])
+        tmp = _align_node(align, "None", host=align["read_name"])
         ov_cur = _overlap_ratio_nodes(tmp, cur_node, left_most, right_most)
         ov_next = _overlap_ratio_nodes(tmp, next_node, left_most, right_most)
 
