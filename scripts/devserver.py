@@ -53,6 +53,9 @@ def main():
                 self.a.flush()
                 self.b.flush()
 
+            def close(self):  # absl's atexit handler closes sys.stderr
+                self.flush()
+
         sys.stdout = sys.stderr = Tee(buf, real_out)
         t0 = time.time()
         try:
