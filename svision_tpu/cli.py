@@ -324,9 +324,16 @@ def run_pipeline(options: Options) -> str:
             if cached is not None:
                 items.append(cached)
             elif pool is not None:
-                items.append(pool.submit(
-                    _collect_worker,
-                    (options, options.bam_path, chrom, part, ts, te)))
+                try:
+                    items.append(pool.submit(
+                        _collect_worker,
+                        (options, options.bam_path, chrom, part, ts, te)))
+                except Exception as exc:
+                    # a dead pool (e.g. spawn failure in an embedding host)
+                    # must degrade to inline collection, not abort the run
+                    logging.warning("worker pool unusable (%s); collecting "
+                                    "%s part %s inline", exc, chrom, part)
+                    items.append((chrom, part, ts, te))
             else:
                 items.append((chrom, part, ts, te))
         return items
