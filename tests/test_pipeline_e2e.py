@@ -255,3 +255,22 @@ def test_debug_dump_updates_cache_sidecar(workspace, tmp_path):
     _run(workspace, outdir, extra=["--debug", "--min_sv_size", "60"])
     # ...and the sidecar now reflects THOSE params, not the stale ones
     assert not cache_valid(seg_dir, opts_resume)
+
+
+def test_broken_pool_degrades_inline(workspace, tmp_path, monkeypatch):
+    """A worker pool whose submit() raises (BrokenProcessPool et al.) must
+    degrade to inline collection, not abort the pipeline (cli.start_chrom)."""
+    import svision_tpu.utils.hostpool as hostpool
+
+    class _BrokenPool:
+        def submit(self, *a, **k):
+            raise RuntimeError("pool is broken")
+
+        def shutdown(self, *a, **k):
+            pass
+
+    monkeypatch.setattr(hostpool, "host_only_pool", lambda n: _BrokenPool())
+    vcf_ok = _run(workspace, str(tmp_path / "ref_out"))
+    vcf_broken = _run(workspace, str(tmp_path / "broken_out"),
+                      extra=["-t", "2"])
+    assert _records(vcf_broken) == _records(vcf_ok)
