@@ -9,10 +9,11 @@ Protocol: drop `NNN_name.py` into the watch dir; the server execs files in
 lexicographic order, teeing stdout/stderr + traceback into `NNN_name.py.out`
 and renaming the job to `.done`. Drop a file named `STOP` to exit cleanly.
 
-Usage: python scripts/devserver.py /tmp/devjobs
+Usage: python scripts/devserver.py [watch_dir]   (default ~/.svision_devjobs)
 """
 import io
 import os
+import stat
 import sys
 import time
 import traceback
@@ -21,8 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    watch = sys.argv[1] if len(sys.argv) > 1 else "/tmp/devjobs"
-    os.makedirs(watch, exist_ok=True)
+    # Default to a user-owned 0700 dir: the server execs any *.py dropped in
+    # the watch dir, so a predictable world-writable path (e.g. /tmp/devjobs)
+    # would let any local user run code as the devserver user.
+    watch = (sys.argv[1] if len(sys.argv) > 1
+             else os.path.expanduser("~/.svision_devjobs"))
+    os.makedirs(watch, mode=0o700, exist_ok=True)
+    st = os.stat(watch)
+    if st.st_uid != os.getuid() or st.st_mode & (stat.S_IWGRP | stat.S_IWOTH):
+        sys.exit(f"[devserver] refusing {watch}: not owned by uid "
+                 f"{os.getuid()} with group/other write cleared "
+                 f"(mode {oct(st.st_mode & 0o777)}) — jobs in it would run "
+                 "with this user's privileges")
     ns = {"__name__": "__devjob__"}
     print(f"[devserver] watching {watch}", flush=True)
     while True:

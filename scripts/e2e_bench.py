@@ -33,12 +33,23 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
     fasta = os.path.join(workdir, "ref.fa")
     bam = os.path.join(workdir, "sample.bam")
     eventsf = os.path.join(workdir, "events.json")
+    params = dict(n_chroms=n_chroms, mb=mb, coverage=coverage,
+                  events_per_chrom=events_per_chrom, seed=seed)
+    paramsf = os.path.join(workdir, "fixture_params.json")
     if os.path.exists(fasta) and os.path.exists(bam) and os.path.exists(eventsf):
         # fixture cache hit (--keep reruns at WGS scale skip the multi-minute
-        # simulate+write; the event list is persisted alongside)
-        with open(eventsf) as fh:
-            events = [tuple(e) for e in json.load(fh)]
-        return fasta, bam, events, 0.0
+        # simulate+write) — but only when the build parameters match, so a
+        # rerun with different --chroms/--mb/... never benchmarks stale files
+        cached = None
+        if os.path.exists(paramsf):
+            with open(paramsf) as fh:
+                cached = json.load(fh)
+        if cached == params:
+            with open(eventsf) as fh:
+                events = [tuple(e) for e in json.load(fh)]
+            return fasta, bam, events, 0.0
+        print(f"[sim] kept fixtures in {workdir} were built with "
+              f"{cached or 'unknown params'}; rebuilding for {params}")
     genome = make_genome(fasta, chroms, seed=seed, fast=fast_genome)
     rng = random.Random(seed)
     events = []
@@ -52,6 +63,8 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
                 coverage=coverage)
     with open(eventsf, "w") as fh:
         json.dump(events, fh)
+    with open(paramsf, "w") as fh:
+        json.dump(params, fh)
     return fasta, bam, events, time.time() - t0
 
 

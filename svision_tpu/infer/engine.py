@@ -52,7 +52,10 @@ def _device_step_fast(folded_params, endpoints, visible, reverse,
     directly in conv1's space-to-depth layout — the default, 73.8k images/s
     on v5e vs 55.5k for the round-1 einsum), 'compare' (same predicate in
     image layout), 'einsum' (MXU one-hot contraction) or 'pallas' (VPU
-    membership kernel, ops/pallas_raster.py)."""
+    membership kernel, ops/pallas_raster.py). int8 excludes 's2d' (there is
+    no int8 forward_s2d); InferenceEngine normalizes raster to 'compare' at
+    init in that case — output is identical, the formulations are
+    bitwise-equal."""
     int8 = compute_dtype == jnp.int8
     raster_dtype = jnp.bfloat16 if int8 else compute_dtype
     if raster_kind == "s2d" and not int8:
@@ -141,6 +144,12 @@ class InferenceEngine:
         # int8 turbo: quantized MXU path (2x bf16 rate on v5e); jnp.int8 as
         # compute_dtype selects it inside the jitted steps
         self.int8 = int8 and bf16 and fast
+        if self.int8 and raster == "s2d":
+            # the s2d encoder feeds forward_s2d, which has no int8 variant;
+            # normalize to the bitwise-equal image-layout predicate here so
+            # the selected kind is visible rather than silently overridden
+            # inside _device_step_fast
+            self.raster = "compare"
         self.compute_dtype = (jnp.int8 if self.int8
                               else jnp.bfloat16 if bf16 else jnp.float32)
         # exact mode (bf16=False) keeps the reference-faithful f32 path;

@@ -16,8 +16,10 @@ Implemented matching rules (truvari bench defaults):
     `refdist` (start-to-start or end-to-end) or their spans overlap
   * PctSizeSimilarity  = min(|len|)/max(|len|)        >= pctsize
   * PctRecOverlap      = reciprocal span overlap      >= pctovl (non-INS)
-  * sequence similarity (difflib ratio on ALT/REF)    >= pctseq, only when
-    pctseq > 0 and both entries carry sequence
+  * sequence similarity (difflib ratio on ALT/REF)    >= pctseq when
+    pctseq > 0; a pair where either side lacks sequence FAILS the gate
+    (truvari treats unresolved entries as seqsim 0) and is counted in the
+    summary's `seq_unresolved_pairs`
   * SVTYPE must match unless typeignore (DUP and tDUP are treated as one
     type family, mirroring evaluate._COMPATIBLE / refine_type semantics)
   * greedy one-to-one assignment by descending match score
@@ -87,11 +89,20 @@ def parse_sv_entries(vcf_path: str) -> List[SvEntry]:
                 svlen = abs(int(float(svlen.split(",")[0])))
             except ValueError:
                 svlen = None
+        allele_resolved = (alt and alt[0] != "<" and "," not in alt
+                           and (len(alt) > 1 or len(ref) > 1))
         if svlen is None:
-            if svtype == "INS" and len(alt) > 1 and alt[0] != "<":
+            if allele_resolved:
+                # truvari derives size from the alleles when SVLEN is absent;
+                # this covers sequence-resolved DELs (len(ref) >> len(alt))
+                # from PAV/assembly callsets, not just INS.
                 svlen = abs(len(alt) - len(ref))
             else:
                 svlen = max(end - pos, 0)
+        if end <= pos and svtype in ("DEL", "INV", "DUP") and svlen > 0:
+            # END absent (e.g. SVLEN-only DEL records): derive the span so
+            # refdist/pctovl see the real footprint, as truvari does.
+            end = pos + svlen
         seq = None
         if alt and alt[0] != "<" and "," not in alt and len(alt) > 1:
             seq = alt
@@ -122,7 +133,8 @@ def _rec_overlap(a: SvEntry, b: SvEntry) -> float:
 
 
 def match_score(base: SvEntry, comp: SvEntry, refdist: int, pctsize: float,
-                pctovl: float, pctseq: float, typeignore: bool
+                pctovl: float, pctseq: float, typeignore: bool,
+                stats: Optional[Dict[str, int]] = None
                 ) -> Optional[Tuple[float, int]]:
     """(score, distance) if the pair satisfies every enabled threshold."""
     if base.chrom != comp.chrom:
@@ -147,10 +159,17 @@ def match_score(base: SvEntry, comp: SvEntry, refdist: int, pctsize: float,
         terms.append(ovl)
     if pctseq > 0:
         sim = _seq_similarity(base.seq, comp.seq)
-        if sim is not None:
-            if sim < pctseq:
-                return None
-            terms.append(sim)
+        if sim is None:
+            # truvari scores comparisons against sequence-unresolved entries
+            # as non-matching under pctseq>0 (seqsim = 0); counting them as
+            # matches would silently inflate TPs for symbolic-ALT callsets.
+            if stats is not None:
+                stats["seq_unresolved_pairs"] = (
+                    stats.get("seq_unresolved_pairs", 0) + 1)
+            return None
+        if sim < pctseq:
+            return None
+        terms.append(sim)
     return sum(terms) / len(terms), dist
 
 
@@ -171,11 +190,12 @@ def bench(base_vcf: str, comp_vcf: str, *, refdist: int = 500,
     comp = [e for e in parse_sv_entries(comp_vcf) if keep(e, sizefilt)]
 
     # score all candidate pairs, then greedy one-to-one by best score
+    gate_stats: Dict[str, int] = {}
     pairs: List[Tuple[float, int, int, int]] = []
     for bi, b in enumerate(base):
         for ci, c in enumerate(comp):
             sc = match_score(b, c, refdist, pctsize, pctovl, pctseq,
-                             typeignore)
+                             typeignore, gate_stats)
             if sc is not None:
                 pairs.append((sc[0], -sc[1], bi, ci))
     pairs.sort(reverse=True)
@@ -217,6 +237,8 @@ def bench(base_vcf: str, comp_vcf: str, *, refdist: int = 500,
                            pctseq=pctseq, sizemin=sizemin, sizefilt=sizefilt,
                            sizemax=sizemax, passonly=passonly,
                            typeignore=typeignore))
+    if pctseq > 0:
+        out["seq_unresolved_pairs"] = gate_stats.get("seq_unresolved_pairs", 0)
     if gt_compare:
         out["gt_concordance"] = round(gt_conc / tp_base, 4) if tp_base else 0.0
     return out

@@ -109,6 +109,47 @@ def test_pctseq_gates_when_sequences_present(tmp_path):
     assert bench(base, diff, pctseq=0.0)["tp_base"] == 1   # disabled
 
 
+def test_sequence_resolved_del_derives_svlen_and_end(tmp_path):
+    # PAV/assembly-style record: REF carries the deleted bases, no SVLEN/END
+    ref = "N" + "ACGT" * 30                 # 120 bp deletion
+    p = _vcf(tmp_path, "a.vcf", [
+        ("chr1", 9000, ".", ref, "N", 30, "PASS", ".", "GT", "1/1"),
+    ])
+    (e,) = parse_sv_entries(p)
+    assert e.svtype == "DEL" and e.svlen == 120
+    assert e.end == 9000 + 120              # span derived for pctovl/refdist
+    # and it must survive the sizemin filter + match a symbolic DEL
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 9000, "DEL", 120)])
+    assert bench(base, p, pctovl=0.5)["tp_base"] == 1
+
+
+def test_svlen_only_del_derives_end(tmp_path):
+    # SVLEN present, END absent: span-overlap must still see the footprint
+    p = _vcf(tmp_path, "a.vcf", [
+        ("chr1", 9000, ".", "N", "<DEL>", 30, "PASS",
+         "SVTYPE=DEL;SVLEN=300", "GT", "0/1"),
+    ])
+    (e,) = parse_sv_entries(p)
+    assert e.svlen == 300 and e.end == 9300
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 9000, "DEL", 300)])
+    assert bench(base, p, pctovl=0.9)["tp_base"] == 1
+
+
+def test_pctseq_fails_unresolved_pairs_and_counts_them(tmp_path):
+    # symbolic-ALT comp vs sequence-resolved truth: with pctseq>0 the pair
+    # must NOT silently match (truvari scores unresolved as non-matching)
+    seq = "N" + "ACGT" * 30
+    base = _vcf(tmp_path, "b.vcf",
+                [_row("chr1", 10_000, "INS", 120, alt=seq)])
+    comp = _vcf(tmp_path, "c.vcf", [_row("chr1", 10_000, "INS", 120)])
+    r = bench(base, comp, pctseq=0.7)
+    assert r["tp_base"] == 0 and r["fn"] == 1 and r["fp"] == 1
+    assert r["seq_unresolved_pairs"] == 1
+    # with the gate disabled the same pair matches and no counter is emitted
+    r2 = bench(base, comp, pctseq=0.0)
+    assert r2["tp_base"] == 1 and "seq_unresolved_pairs" not in r2
+
+
 def test_gt_concordance(tmp_path):
     base = _vcf(tmp_path, "b.vcf", [_row("chr1", 1_000, "DEL", 400, gt="0/1"),
                                     _row("chr1", 9_000, "DEL", 400, gt="1/1")])
