@@ -266,7 +266,14 @@ def run_cohort(samples: Dict[str, str], options: Options,
             os.remove(stale)
     run_cohort_shard(samples, options, my_shard, num_shards)
 
-    if num_shards > 1:
+    import jax
+    if jax.process_count() > 1:
+        # non-shared-FS finish: every shard's per-sample fragments travel to
+        # process 0 over the distributed channel (itself a full barrier), so
+        # host 0's out dir looks like a shared-filesystem run before merging
+        from svision_tpu.parallel.dist import gather_cohort_fragments_to_host0
+        gather_cohort_fragments_to_host0(options.out_path, list(samples))
+    elif num_shards > 1:
         _barrier_all_shards(options.out_path, my_shard, num_shards)
     if my_shard != 0:
         return ""
@@ -295,8 +302,10 @@ def main(argv=None):
     ap.add_argument("--shard-id", type=int, default=None)
     ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
                     help="optional jax.distributed coordinator; when given, "
-                    "the merge barrier rides the collective fabric instead "
-                    "of shared-filesystem done-files")
+                    "shards need NO shared filesystem: per-sample fragments "
+                    "are gathered to process 0 over the distributed channel "
+                    "(which is also the merge barrier) before the cohort "
+                    "merge")
     ns = ap.parse_args(argv)
 
     if ns.coordinator:

@@ -74,20 +74,25 @@ def exchange_score_minmax(local_scores: np.ndarray) -> Tuple[float, float]:
     return float(np.min(local_scores)), float(np.max(local_scores))
 
 
-def _pack_fragments(predict_dir: str) -> bytes:
-    """Serialize this shard's VCF/score fragments into one length-prefixed
+def _pack_files(base_dir: str, relnames: Sequence[str]) -> bytes:
+    """Serialize files (paths relative to base_dir) into one length-prefixed
     blob: [u32 n_files][per file: u32 name_len, name, u64 size, bytes]."""
     import struct
-    names = sorted(f for f in os.listdir(predict_dir)
-                   if f.endswith(".vcf") or f.endswith(".score.txt"))
-    parts = [struct.pack("<I", len(names))]
-    for name in names:
-        with open(os.path.join(predict_dir, name), "rb") as fh:
+    parts = [struct.pack("<I", len(relnames))]
+    for name in relnames:
+        with open(os.path.join(base_dir, name), "rb") as fh:
             data = fh.read()
         enc = name.encode()
         parts.append(struct.pack("<I", len(enc)) + enc
                      + struct.pack("<Q", len(data)) + data)
     return b"".join(parts)
+
+
+def _pack_fragments(predict_dir: str) -> bytes:
+    """This shard's VCF/score fragments (flat dir) as one blob."""
+    names = sorted(f for f in os.listdir(predict_dir)
+                   if f.endswith(".vcf") or f.endswith(".score.txt"))
+    return _pack_files(predict_dir, names)
 
 
 def _unpack_fragments(blob: bytes, dest_dir: str) -> List[str]:
@@ -103,13 +108,37 @@ def _unpack_fragments(blob: bytes, dest_dir: str) -> List[str]:
         off += name_len
         (size,) = struct.unpack_from("<Q", blob, off)
         off += 8
-        if os.path.basename(name) != name:
+        # relative subdirs are allowed (cohort fragments arrive as
+        # sample/predict_results/x.vcf) but traversal out of dest is not
+        if (os.path.isabs(name) or os.path.normpath(name) != name
+                or ".." in name.split("/")):
             raise ValueError(f"fragment name escapes dest dir: {name!r}")
-        with open(os.path.join(dest_dir, name), "wb") as fh:
+        dest = os.path.join(dest_dir, name)
+        os.makedirs(os.path.dirname(dest) or dest_dir, exist_ok=True)
+        with open(dest, "wb") as fh:
             fh.write(blob[off:off + size])
         off += size
         written.append(name)
     return written
+
+
+def _gather_blob_to_host0(blob_bytes: bytes) -> Optional[List[bytes]]:
+    """All-gather one variable-length byte blob per process; returns the
+    per-process blob list on process 0, None elsewhere. Two-phase (fixed-size
+    length exchange, then payloads padded to the max) because fragment sizes
+    differ per shard. COLLECTIVE: every process must call."""
+    import jax
+    from jax.experimental import multihost_utils
+    blob = np.frombuffer(blob_bytes, np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.array([blob.size], np.int64))            # [P, 1]
+    padded = np.zeros(int(lens.max()), np.uint8)
+    padded[:blob.size] = blob
+    blobs = multihost_utils.process_allgather(padded)   # [P, maxlen]
+    if jax.process_index() != 0:
+        return None
+    return [np.asarray(blobs[p, :int(lens[p, 0])]).tobytes()
+            for p in range(jax.process_count())]
 
 
 def gather_fragments_to_host0(predict_dir: str) -> None:
@@ -124,19 +153,40 @@ def gather_fragments_to_host0(predict_dir: str) -> None:
     import jax
     if jax.process_count() <= 1:
         return
-    from jax.experimental import multihost_utils
-
-    blob = np.frombuffer(_pack_fragments(predict_dir), np.uint8)
-    lens = multihost_utils.process_allgather(
-        np.array([blob.size], np.int64))            # [P, 1]
-    padded = np.zeros(int(lens.max()), np.uint8)
-    padded[:blob.size] = blob
-    blobs = multihost_utils.process_allgather(padded)   # [P, maxlen]
-    if jax.process_index() == 0:
-        for p in range(1, jax.process_count()):
-            names = _unpack_fragments(
-                np.asarray(blobs[p, :int(lens[p, 0])]).tobytes(), predict_dir)
+    blobs = _gather_blob_to_host0(_pack_fragments(predict_dir))
+    if blobs is not None:
+        for p in range(1, len(blobs)):
+            names = _unpack_fragments(blobs[p], predict_dir)
             logging.info("gathered %d fragment files from shard %d",
+                         len(names), p)
+
+
+def gather_cohort_fragments_to_host0(out_path: str,
+                                     samples: Sequence[str]) -> None:
+    """Cohort-mode non-shared-filesystem finish (BASELINE config 5): ship
+    every shard's per-sample predict_results fragments to process 0 over the
+    jax.distributed channel. Fragment names are prefixed with the sample
+    ("{sample}/predict_results/{chrom}.predict.sN.vcf"), so host 0's out dir
+    ends up laid out exactly as a shared-filesystem run and
+    merge_cohort_samples needs no changes. Retires the reference's
+    filesystem-as-backend merge (output.py:601-612) for cohorts too.
+
+    COLLECTIVE: every process must call this after run_cohort_shard."""
+    import jax
+    if jax.process_count() <= 1:
+        return
+    rels: List[str] = []
+    for name in sorted(samples):
+        pdir = os.path.join(out_path, name, "predict_results")
+        if os.path.isdir(pdir):
+            rels.extend(f"{name}/predict_results/{f}"
+                        for f in sorted(os.listdir(pdir))
+                        if f.endswith(".vcf") or f.endswith(".score.txt"))
+    blobs = _gather_blob_to_host0(_pack_files(out_path, rels))
+    if blobs is not None:
+        for p in range(1, len(blobs)):
+            names = _unpack_fragments(blobs[p], out_path)
+            logging.info("gathered %d cohort fragment files from shard %d",
                          len(names), p)
 
 

@@ -137,3 +137,47 @@ def test_cohort_two_process_cli(cohort_ws, tmp_path):
     merged = os.path.join(out, "cohort.svision.s3.vcf")
     assert os.path.exists(merged)
     assert _records(merged), "cohort VCF empty"
+
+
+@pytest.mark.slow
+def test_cohort_two_process_disjoint_outdirs(cohort_ws, tmp_path):
+    """Non-shared-filesystem cohort (BASELINE config 5 as specified): two
+    jax.distributed processes with DISJOINT out dirs; per-sample fragments
+    travel to process 0 over the distributed channel
+    (dist.gather_cohort_fragments_to_host0) and process 0's merged
+    multi-sample VCF must byte-equal the single-process run."""
+    import socket
+    import subprocess
+    import sys
+
+    # ground truth: single-process run
+    opts1 = _opts(cohort_ws, tmp_path / "single")
+    os.makedirs(opts1.out_path, exist_ok=True)
+    single = cohort_mod.run_cohort(cohort_ws["bams"], opts1)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    outs = [str(tmp_path / f"shard{k}") for k in (0, 1)]  # DISJOINT dirs
+    args = [sys.executable, "-m", "svision_tpu.parallel.cohort",
+            "-g", cohort_ws["genome"], "-m", cohort_ws["weights"],
+            "--samples"] + [f"{n}={p}" for n, p in cohort_ws["bams"].items()] \
+        + ["-s", "3", "--batch_size", "32", "--num-shards", "2",
+           "--coordinator", coord]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    procs = [subprocess.Popen(args + ["-o", outs[k], "--shard-id", str(k)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for k in (0, 1)]
+    logs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, logs):
+        assert p.returncode == 0, o.decode(errors="replace")[-3000:]
+
+    merged = os.path.join(outs[0], "cohort.svision.s3.vcf")
+    assert os.path.exists(merged), logs[0].decode(errors="replace")[-2000:]
+    # shard 1 merged nothing locally: its out dir really was disjoint
+    assert not os.path.exists(os.path.join(outs[1], "cohort.svision.s3.vcf"))
+    with open(single) as a, open(merged) as b:
+        assert a.read() == b.read()
