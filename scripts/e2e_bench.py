@@ -84,7 +84,12 @@ def main():
                     help="numpy-based base generation (WGS-scale fixtures)")
     ap.add_argument("--collect-only", action="store_true",
                     help="stop after the collection stage (host-side stress)")
+    ap.add_argument("--cli-extra", default="",
+                    help="comma-joined extra CLI flags passed through to the "
+                    "pipeline, e.g. --cli-extra=--hash or "
+                    "--cli-extra=--graph,--qname")
     args = ap.parse_args()
+    cli_extra = [f for f in args.cli_extra.split(",") if f]
 
     import tempfile
     workdir = args.keep or tempfile.mkdtemp(prefix="svte2e_")
@@ -115,7 +120,8 @@ def main():
     t0 = time.time()
     options = cli.parse_arguments([
         "-o", outdir, "-b", bam, "-g", genome, "-m", weights,
-        "-n", "e2e", "-s", str(args.support), "-t", str(args.threads)])
+        "-n", "e2e", "-s", str(args.support), "-t", str(args.threads)]
+        + cli_extra)
 
     if args.collect_only:
         # host-side stress: collection only, no device attach

@@ -11,10 +11,18 @@ Class ids follow the reference decoder (predict.py:133-142):
 0=DEL 1=INS 2=INV 3=DUP 4=tDUP.
 
 Candidate selection per event type mirrors how the prediction decoder
-consumes pairs (predict.py:278-294): DEL/INS/INV/tDUP are learned from
-main-main pairs; DUP (dispersed duplication) from main-x-other pairs, since
-the decoder discards DEL/INS predictions on main-other pairs and DUP is the
-class those pairs exist to carry.
+consumes pairs (predict.py:278-294) AND how refine_type reconciles them
+(output.py:352-467): DEL/INS/INV are learned from the pair kinds that carry
+them in the decoder; for duplications (DUP and tDUP) the class lives on the
+main-x-other pair whose segments OVERLAP on the reference axis (the
+dup-channel discriminator, plot_segment.py:57-67), while the main-main pair
+of the same signature is geometrically identical to an insertion pair
+(diagonal, read-gap, no ref overlap) and is labeled INS — at call time the
+decoder predicts INS on it, tDUP/DUP on the overlap pair, and refine_type
+collapses the {INS, dup} combo into the dup call, exactly the reference's
+design. (Round-2 forensics: labeling the pixel-identical mm pairs tDUP
+capped train accuracy at ~0.85 and caused the small-event INS<->tDUP
+confusions — the two classes genuinely shared images.)
 """
 
 from __future__ import annotations
@@ -90,9 +98,22 @@ def label_candidates(candidates, events, tol: int = 5000):
             continue
         kind = kinds[i]
         main_main = "m" in cand.sig_id
-        if kind == "DUP":
-            if main_main:        # the INS-like backbone pair; not the class
-                continue         # carrier (decoder: predict.py:278-286)
+        if kind in ("DUP", "tDUP"):
+            if main_main:
+                # the insertion-backbone pair: pixel-identical to an INS
+                # image (diagonals + read gap, no ref overlap). The decoder
+                # predicts INS here and refine_type folds {INS, dup} into
+                # the dup call (output.py:352-467) — so its true image
+                # class IS INS.
+                kind = "INS"
+            else:
+                # the dup carrier: segments overlap on the ref axis, which
+                # is what lights the duplication channel. Skip stray
+                # non-overlapping other-pairs.
+                s = cand.spec
+                y_overlap = min(s[3], s[8]) - max(s[2], s[7])
+                if y_overlap <= 0:
+                    continue
         elif kind == "INV":
             # the reversed segment is 'other' (strand-discordant ->
             # minor_segs, analyze_reads.py:680-684); the colinear main pair
@@ -125,10 +146,12 @@ def balance_classes(specs: np.ndarray, labels: np.ndarray, seed: int = 0):
 
 def build_dataset(n_per_type: int = 40, seed: int = 0, support: int = 8,
                   min_support: int = 3, workdir: str = None,
-                  tol: int = 5000, balance: bool = True):
+                  tol: int = 5000, balance: bool = True,
+                  size_range: Tuple[int, int] = (120, 600)):
     """Simulate + collect + label; returns (specs, labels, events)."""
     import contextlib
-    events, chrom_len = simulate_events(n_per_type, seed=seed)
+    events, chrom_len = simulate_events(n_per_type, seed=seed,
+                                        size_range=size_range)
     if workdir is None:
         ctx = tempfile.TemporaryDirectory()
     else:

@@ -97,20 +97,56 @@ def make_train_step(optimizer=None, keep_prob: float = 0.5,
 # Training pipeline: labeled candidate specs -> trained checkpoint
 # ---------------------------------------------------------------------------
 
-def specs_to_images(specs, flip: bool = False):
+def specs_to_images(specs, flip: bool = False, jitter_rng=None,
+                    max_shift: int = 10, max_jitter: int = 2):
     """Host+device: [N,12] specs -> [N,227,227,3] normalized images.
 
     flip=True mirrors the image left-right — the reference training recipe's
     cv2.flip augmentation (create_batch.py imports cv2.flip for this; a
-    horizontal flip of the ref axis preserves the SV class)."""
+    horizontal flip of the ref axis preserves the SV class).
+
+    jitter_rng (np.random.RandomState) enables endpoint-space augmentation:
+    a per-image translation of up to ±max_shift px (locus position inside
+    the trimmed window varies with the supporting read's extent) plus
+    per-endpoint jitter of up to ±max_jitter px (breakpoint/rounding noise
+    across reads). Both preserve the SV class; they decouple the model from
+    the exact canvas position the simulator produces."""
     import jax.numpy as jnp
     from svision_tpu.ops import rasterize
     ep, vis, rev = rasterize.specs_to_endpoints(specs)
+    if jitter_rng is not None:
+        ep = jitter_endpoints_np(ep, jitter_rng, max_shift, max_jitter)
     imgs = rasterize.render_images_jit(jnp.asarray(ep), jnp.asarray(vis),
                                        jnp.asarray(rev))
     if flip:
         imgs = imgs[:, :, ::-1, :]
     return imgs
+
+
+def jitter_endpoints_np(ep, rng, max_shift: int = 10, max_jitter: int = 2):
+    """Host endpoint augmentation: per-image (dc, dr) translation +
+    per-endpoint jitter, clamped to the canvas. ep int32 [N, S, 4]
+    (col0,row0,col1,row1)."""
+    import numpy as np
+    from svision_tpu.ops.rasterize import CANVAS
+    n, s, _ = ep.shape
+    shift = rng.randint(-max_shift, max_shift + 1, (n, 1, 2))
+    jit = rng.randint(-max_jitter, max_jitter + 1, (n, s, 4))
+    out = ep.astype(np.int64)
+    out[..., 0::2] += shift[..., 0:1] + jit[..., 0::2]   # cols
+    out[..., 1::2] += shift[..., 1:2] + jit[..., 1::2]   # rows
+    return np.clip(out, 0, CANVAS - 1).astype(ep.dtype)
+
+
+def jitter_endpoints_jax(ep, key, max_shift: int = 10, max_jitter: int = 2):
+    """Device twin of jitter_endpoints_np (used inside fit_device's scan)."""
+    from svision_tpu.ops.rasterize import CANVAS
+    n, s, _ = ep.shape
+    kshift, kjit = jax.random.split(key)
+    shift = jax.random.randint(kshift, (n, 1, 2), -max_shift, max_shift + 1)
+    jit = jax.random.randint(kjit, (n, s, 4), -max_jitter, max_jitter + 1)
+    shift4 = jnp.concatenate([shift[..., 0:1], shift[..., 1:2]] * 2, -1)
+    return jnp.clip(ep + shift4 + jit, 0, CANVAS - 1).astype(ep.dtype)
 
 
 def fit(params: Params, specs, labels, *, epochs: int = 3,
@@ -162,7 +198,8 @@ def fit(params: Params, specs, labels, *, epochs: int = 3,
         for i in range(0, n - batch_size + 1, batch_size):
             idx = order[i:i + batch_size]
             flip = augment and bool(nprng.randint(2))
-            images = specs_to_images(specs[idx], flip=flip)
+            images = specs_to_images(specs[idx], flip=flip,
+                                     jitter_rng=nprng if augment else None)
             lab = jnp.asarray(labels[idx])
             if data_sh is not None:
                 images = jax.device_put(images, data_sh)
@@ -223,12 +260,17 @@ def fit_device(params: Params, specs, labels, *, epochs: int = 16,
         def body(c, inp):
             params, opt_state = c
             idx, flip, key = inp
-            images = rasterize.render_images(ep_d[idx], vis_d[idx],
-                                             rev_d[idx])
+            kaug, kstep = jax.random.split(key)
+            ep_b = ep_d[idx]
+            if augment:
+                # translation + breakpoint jitter in endpoint space (see
+                # jitter_endpoints_np) — on-device, per step
+                ep_b = jitter_endpoints_jax(ep_b, kaug)
+            images = rasterize.render_images(ep_b, vis_d[idx], rev_d[idx])
             # cv2.flip-equivalent augmentation: mirror the ref axis
             images = jnp.where(flip, images[:, :, ::-1, :], images)
             params, opt_state, loss = train_step(params, opt_state, images,
-                                                 labels_d[idx], key)
+                                                 labels_d[idx], kstep)
             return (params, opt_state), loss
 
         (params, opt_state), losses = jax.lax.scan(

@@ -27,9 +27,11 @@ def test_build_dataset_all_classes_balanced(tmp_path):
     assert counts.max() == counts.min(), counts
 
 
-def test_dup_candidates_are_main_other(tmp_path):
-    """DUP events must be learned from main-x-other pairs; tDUP from
-    main-main sigDup pairs."""
+def test_dup_classes_live_on_overlapping_other_pairs(tmp_path):
+    """tDUP and DUP are learned from the main-x-other pair whose segments
+    overlap on the reference axis (the dup-channel discriminator); the
+    signatures' main-main pairs are INS-identical images and get labeled
+    INS (refine_type folds the {INS, dup} combo back into the dup call)."""
     from svision_tpu.models.dataset import collect_candidates, \
         label_candidates
     events = [("tDUP", "chr1", 40000, 300), ("DUP", "chr1", 90000, 250)]
@@ -37,11 +39,15 @@ def test_dup_candidates_are_main_other(tmp_path):
                                      support=6)
     specs, labels = label_candidates(cands, events)
     assert CLASS_IDS["tDUP"] in labels and CLASS_IDS["DUP"] in labels
-    tdup_cands = [c for c in cands if c.sig_type == "sigDup"
-                  and "m" in c.sig_id]
-    assert tdup_cands, "tandem dup must emit main-main sigDup pairs"
-    dup_other = [c for c in cands if "m" not in c.sig_id]
-    assert dup_other, "dispersed dup must emit main-other pairs"
+    # every dup-labeled spec overlaps on the ref (y) axis; every INS-labeled
+    # spec (the backbone pairs of these dup events) does not
+    for s, l in zip(specs, labels):
+        y_overlap = min(s[3], s[8]) - max(s[2], s[7])
+        if l in (CLASS_IDS["DUP"], CLASS_IDS["tDUP"]):
+            assert y_overlap > 0, (s, l)
+        if l == CLASS_IDS["INS"]:
+            assert y_overlap <= 0, (s, l)
+    assert CLASS_IDS["INS"] in labels, "backbone pairs must be labeled INS"
 
 
 def test_score_calls_matching():

@@ -51,3 +51,38 @@ def test_train_cli_roundtrip(tmp_path):
                 "--batch-size", "8"])
     params = load_params(str(out))
     assert params["fc8/weights"].shape == (4096, 5)
+
+
+def test_jitter_endpoints_np_and_jax_stay_on_canvas():
+    from svision_tpu.models.train import (jitter_endpoints_jax,
+                                          jitter_endpoints_np)
+    from svision_tpu.ops import rasterize
+    specs, _ = _labeled_specs(8, seed=3)
+    ep, vis, rev = rasterize.specs_to_endpoints(specs)
+    out_np = jitter_endpoints_np(ep, np.random.RandomState(0))
+    out_jx = np.asarray(jitter_endpoints_jax(
+        __import__("jax.numpy", fromlist=["asarray"]).asarray(ep),
+        jax.random.PRNGKey(0)))
+    for out in (out_np, out_jx):
+        assert out.shape == ep.shape and out.dtype == ep.dtype
+        assert out.min() >= 0 and out.max() <= rasterize.CANVAS - 1
+        # bounded perturbation: translation <=10 + jitter <=2
+        assert np.abs(out.astype(int) - ep.astype(int)).max() <= 12
+    # augmented images still render
+    import jax.numpy as jnp
+    imgs = rasterize.render_images_jit(jnp.asarray(out_np),
+                                       jnp.asarray(vis), jnp.asarray(rev))
+    assert imgs.shape == (8, 227, 227, 3)
+
+
+@pytest.mark.slow
+def test_fit_device_augmented_runs():
+    """fit_device with augment=True (the on-device jitter+flip path inside
+    the scanned step) compiles and trains on CPU."""
+    from svision_tpu.models.train import fit_device
+    specs, labels = _labeled_specs(16, seed=2)
+    params = alexnet.init_params(jax.random.PRNGKey(0))
+    params, history = fit_device(params, specs, labels, epochs=2,
+                                 batch_size=8, seed=1, learning_rate=0.01,
+                                 keep_prob=1.0, augment=True)
+    assert len(history) == 2 and np.isfinite(history).all()
