@@ -15,17 +15,46 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
+import numpy as np
+
 from svision_tpu.collect.candidates import SegBox
 
-_COMP = str.maketrans("ATCGN", "TAGCN")
+# byte-level complement: A<->T, C<->G, every other byte -> 'N'
+# (classes.py:21-39 maps any char not in ACGT, including N, to N)
+_RC_BYTES = bytes(dict(zip(b"ATCG", b"TAGC")).get(b, ord("N"))
+                  for b in range(256))
+
+# fixed k-mer alphabet for the vectorized seeder: the BAM 16-symbol set plus
+# lowercase + U/u. Each byte gets a unique code, so integer k-mer codes are
+# bijective with the k-mer STRINGS the reference hashes; any byte outside
+# the table disables the fast path (string seeding keeps exactness).
+_ALPHA = sorted(set(b"=ACMGRSVTWYHKDBN" + b"acmgrsvtwyhkdbn" + b"Uu"))
+_LUT = np.full(256, -1, np.int64)
+for _i, _ch in enumerate(_ALPHA):
+    _LUT[_ch] = _i
+_KBASE = len(_ALPHA)
 
 
 def revcomp(seq: str) -> str:
     """Reverse complement; non-ACGT -> N (classes.py:21-39 semantics)."""
-    out = []
-    for ch in reversed(seq):
-        out.append({"A": "T", "T": "A", "C": "G", "G": "C"}.get(ch, "N"))
-    return "".join(out)
+    return seq.encode("latin1").translate(_RC_BYTES)[::-1].decode("latin1")
+
+
+def _kmer_codes(seq: str, k: int) -> Optional[np.ndarray]:
+    """Integer codes of seq's k-mers over the reference's scan range
+    (hash_aligner.py:156-165 iterates i in [0, len-(k+1)) — the last two
+    k-mer starts are excluded, a reference quirk kept for parity).
+    None when the sequence contains a byte outside the fast alphabet."""
+    b = np.frombuffer(seq.encode("latin1"), np.uint8)
+    codes = _LUT[b]
+    if codes.size and codes.min() < 0:
+        return None
+    n = len(b) - (k + 1)
+    if n <= 0:
+        return np.zeros(0, np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)[:n]
+    pows = _KBASE ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    return win @ pows
 
 
 class _Seg:
@@ -112,6 +141,35 @@ class HashAligner:
         if match_len >= self.window_size:
             self._accept(_Seg(len(rev_x_bases) - 1 - xpos, i, match_len, False))
 
+    def _extend_np(self, bx, by, xpos, i, rev_len: Optional[int]):
+        """Vectorized twin of _extend_forward/_extend_reverse: zero or more
+        allowed mismatches as a common-prefix scan over byte arrays.
+        rev_len=None -> forward accept; else the reverse accept with
+        len(rev_x) = rev_len. Replicates the scalar loop exactly: bounds
+        stop at len-1 (the last char is never read), an N stops before
+        counting, the (mismatch_num+1)-th mismatch stops after counting."""
+        k = self.k
+        max_steps = min(len(bx) - 1 - (xpos + k), len(by) - 1 - (i + k))
+        if max_steps <= 0:
+            match_len = k
+        else:
+            xs = bx[xpos + k:xpos + k + max_steps]
+            ys = by[i + k:i + k + max_steps]
+            is_n = (xs == 78) | (ys == 78)          # ord('N')
+            n_idx = np.flatnonzero(is_n)
+            first_n = int(n_idx[0]) if n_idx.size else max_steps
+            dd = np.flatnonzero(xs != ys)
+            dd = dd[dd < first_n]
+            if dd.size > self.mismatch_num:
+                match_len = k + int(dd[self.mismatch_num]) + 1
+            else:
+                match_len = k + first_n
+        if match_len >= self.window_size:
+            if rev_len is None:
+                self._accept(_Seg(xpos, i, match_len, True))
+            else:
+                self._accept(_Seg(rev_len - 1 - xpos, i, match_len, False))
+
     def _accept(self, seg: _Seg):
         if self.compare_diff_segs is None:
             self.segments.append(seg)
@@ -141,12 +199,35 @@ class HashAligner:
     # -- alignment driver (hash_aligner.py:145-238) -----------------------
     def run(self, x_seq: str, y_seq: str,
             compare_diff_segs: Optional[List[_Seg]] = None,
-            y_hashvalues: Optional[List[str]] = None,
-            avoid_kmers: Optional[List[str]] = None):
+            y_hashvalues=None, avoid_kmers=None,
+            force_strings: bool = False):
+        """Seed + extend x against y.
+
+        Seeding is vectorized (numpy k-mer codes + sorted join) when every
+        byte is in the fast alphabet; the original string path is kept both
+        as the exactness fallback for exotic bytes and as the differential
+        oracle (tests/test_hashplot.py). y_hashvalues/avoid_kmers are
+        np.int64 code arrays from a previous fast run (or k-mer string
+        lists from a previous string run) — hashplot_unmapped decides the
+        mode once for both passes."""
         self.compare_diff_segs = compare_diff_segs
         x_bases = x_seq
         rev_x = revcomp(x_seq)
         k = self.k
+
+        kx = krx = ky = None
+        if not force_strings and not isinstance(y_hashvalues, list):
+            kx = _kmer_codes(x_bases, k)
+            krx = _kmer_codes(rev_x, k)
+            ky = (y_hashvalues if y_hashvalues is not None
+                  else _kmer_codes(y_seq, k))
+        if kx is not None and krx is not None and ky is not None:
+            self._run_fast(kx, krx, ky, x_bases, rev_x, y_seq,
+                           y_hashvalues is not None, avoid_kmers)
+            return
+        assert not isinstance(y_hashvalues, np.ndarray), \
+            "fast-mode y hash codes with a string-mode x sequence — the " \
+            "caller must pick one mode for both passes (hashplot_unmapped)"
 
         hashed: Dict[str, List[int]] = {}
         for i in range(0, len(x_bases) - (k + 1)):
@@ -175,6 +256,69 @@ class HashAligner:
                 if positions is None or kmer in avoid_set:
                     continue
                 self._seed(positions, x_bases, rev_x, y_bases, i)
+
+    def _run_fast(self, kx, krx, ky, x_bases, rev_x, y_bases,
+                  have_y_hashes: bool, avoid_kmers):
+        """Vectorized seeding: one sorted join replaces the per-y dict scan.
+
+        Exactly reproduces the string path's seed ORDER: y positions
+        ascending; per k-mer, x positions in table-insertion order (forward
+        occurrences ascending, then reverse-strand entries -1-i with i
+        ascending) — guaranteed by the stable argsort over the forward-then-
+        reverse concatenation."""
+        codes = np.concatenate([kx, krx])
+        pos = np.concatenate([np.arange(len(kx), dtype=np.int64),
+                              -1 - np.arange(len(krx), dtype=np.int64)])
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        sp = pos[order]
+        lo = np.searchsorted(sc, ky, "left")
+        hi = np.searchsorted(sc, ky, "right")
+        cnt = hi - lo
+
+        if not have_y_hashes:
+            self.hashvalues = ky            # every scanned y k-mer, in order
+            repeat = cnt >= self.repeat_thresh
+            self.avoid_kmers = ky[repeat]   # incl. duplicates, scan order
+            seed_at = np.flatnonzero((cnt > 0) & ~repeat)
+        else:
+            avoid = (np.asarray(avoid_kmers, np.int64)
+                     if avoid_kmers is not None else np.zeros(0, np.int64))
+            hit = cnt > 0
+            if avoid.size:
+                hit &= ~np.isin(ky, avoid)
+            seed_at = np.flatnonzero(hit)
+        if not seed_at.size:
+            return
+
+        # expand every (y_i, x_pos) seed pair, then apply _seed's
+        # previous-char prune ("seed already covered by the prior k-mer",
+        # hash_aligner.py:178-190) in one vectorized pass — the prune
+        # rejects ~99% of pairs, so only real extension starts reach Python
+        reps = (hi - lo)[seed_at]
+        total = int(reps.sum())
+        ii = np.repeat(seed_at, reps)
+        base = np.repeat(np.cumsum(reps) - reps, reps)
+        off = np.repeat(lo[seed_at], reps) + (np.arange(total) - base)
+        pp = sp[off]
+
+        bx = np.frombuffer(x_bases.encode("latin1"), np.uint8)
+        brx = np.frombuffer(rev_x.encode("latin1"), np.uint8)
+        by = np.frombuffer(y_bases.encode("latin1"), np.uint8)
+        fwd = pp >= 0
+        xpos = np.where(fwd, pp, -1 - pp)
+        can_prune = (xpos > 0) & (ii > 0)
+        xprev = np.where(fwd, bx[np.maximum(xpos - 1, 0) * fwd],
+                         brx[np.maximum(xpos - 1, 0) * ~fwd])
+        skip = can_prune & (xprev == by[np.maximum(ii - 1, 0)])
+        keep = np.flatnonzero(~skip)
+
+        rev_len = len(rev_x)
+        for j in keep.tolist():
+            if fwd[j]:
+                self._extend_np(bx, by, int(xpos[j]), int(ii[j]), None)
+            else:
+                self._extend_np(brx, by, int(xpos[j]), int(ii[j]), rev_len)
 
     def _seed(self, positions, x_bases, rev_x, y_bases, i):
         for p in positions:
@@ -258,14 +402,19 @@ def hashplot_unmapped(ref_seq: str, read_seq: str, k: int, min_accept: int
     """Realign an unmapped/inserted read fragment against the local reference
     (run_hash_lineplot.py:52-85)."""
     repeat_thresh = 2
+    # one mode for BOTH passes: the learned hashvalues/avoid tables are
+    # int code arrays in fast mode and k-mer strings in fallback mode
+    force = (_kmer_codes(ref_seq, k) is None
+             or _kmer_codes(read_seq, k) is None)
     aligner_ref = HashAligner(k, min_accept, 0, repeat_thresh)
-    aligner_ref.run(ref_seq, ref_seq)
+    aligner_ref.run(ref_seq, ref_seq, force_strings=force)
     diff_segs = aligner_ref.self_diff_segs
     y_hashvalues = aligner_ref.hashvalues
     avoid = aligner_ref.avoid_kmers
 
     aligner = HashAligner(k, min_accept, 0, repeat_thresh)
-    aligner.run(read_seq, ref_seq, diff_segs, y_hashvalues, avoid)
+    aligner.run(read_seq, ref_seq, diff_segs, y_hashvalues, avoid,
+                force_strings=force)
     segs = aligner.merged_segments()
     if len(segs) >= 2:
         segs = select_longest(segs)

@@ -57,3 +57,65 @@ def test_hashplot_repeat_ref():
     _, got = hashplot_unmapped(ref, read, 10, 50)
     _, want = ref_hashplot(ref, read, 10, 50)
     assert [_seg_tuple(s) for s in got] == [_seg_tuple(s) for s in want]
+
+
+def test_fast_seeding_matches_string_oracle():
+    """The vectorized seeder (numpy k-mer codes + sorted join) must produce
+    IDENTICAL segments, in identical order, to the original string path —
+    across repeats, reverse-complement hits, and N runs."""
+    import random
+    from svision_tpu.collect.hashplot import HashAligner, revcomp
+
+    rng = random.Random(7)
+    for trial in range(12):
+        ref = "".join(rng.choice("ACGT") for _ in range(rng.randint(80, 600)))
+        # plant structure: a repeat, a revcomp copy, an N run
+        if trial % 3 == 0:
+            ref = ref + ref[10:70] + ref
+        if trial % 3 == 1:
+            ref = ref + revcomp(ref[20:120]) + ref[:50]
+        if trial % 4 == 0:
+            ref = ref[:40] + "N" * rng.randint(1, 15) + ref[40:]
+        read = ref[rng.randint(0, 20):rng.randint(60, len(ref))]
+        if trial % 2:
+            read = revcomp(read)
+
+        def segs(force):
+            a = HashAligner(10, 50, 0, 2)
+            a.run(ref, ref, force_strings=force)
+            b = HashAligner(10, 50, 0, 2)
+            b.run(read, ref, a.self_diff_segs, a.hashvalues, a.avoid_kmers,
+                  force_strings=force)
+            return [(s.x_start, s.x_end, s.y_start, s.y_end, s.fwd)
+                    for s in b.segments], \
+                   [(s.x_start, s.y_start) for s in a.segments]
+
+        fast, fast_self = segs(False)
+        slow, slow_self = segs(True)
+        assert fast_self == slow_self, f"trial {trial} self-align differs"
+        assert fast == slow, f"trial {trial} differs"
+
+
+def test_fast_and_string_hashvalue_tables_equivalent():
+    """Learned avoid/hashvalue tables must gate the same y positions."""
+    import numpy as np
+    from svision_tpu.collect.hashplot import HashAligner, _kmer_codes
+    ref = ("ACGTACGTTTGACCA" * 9)[:120]   # repeat-heavy
+    a_f = HashAligner(10, 50, 0, 2)
+    a_f.run(ref, ref)
+    a_s = HashAligner(10, 50, 0, 2)
+    a_s.run(ref, ref, force_strings=True)
+    assert isinstance(a_f.hashvalues, np.ndarray)
+    assert len(a_f.hashvalues) == len(a_s.hashvalues)
+    assert len(a_f.avoid_kmers) == len(a_s.avoid_kmers)
+    # codes of the string tables equal the int tables
+    codes = _kmer_codes(ref, 10)
+    assert (a_f.hashvalues == codes).all()
+
+
+def test_exotic_bytes_fall_back_to_string_path():
+    from svision_tpu.collect.hashplot import hashplot_unmapped
+    ref = "ACGT" * 40
+    read = ("ACGT" * 10) + "@" + ("ACGT" * 10)   # '@' outside the alphabet
+    _, segs = hashplot_unmapped(ref, read, 10, 50)   # must not crash
+    assert isinstance(segs, list)
