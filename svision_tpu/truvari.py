@@ -16,10 +16,11 @@ Implemented matching rules (truvari bench defaults):
     `refdist` (start-to-start or end-to-end) or their spans overlap
   * PctSizeSimilarity  = min(|len|)/max(|len|)        >= pctsize
   * PctRecOverlap      = reciprocal span overlap      >= pctovl (non-INS)
-  * sequence similarity (difflib ratio on ALT/REF)    >= pctseq when
-    pctseq > 0; a pair where either side lacks sequence FAILS the gate
-    (truvari treats unresolved entries as seqsim 0) and is counted in the
-    summary's `seq_unresolved_pairs`
+  * sequence similarity (python-Levenshtein ratio, the library truvari's
+    seqsim uses, with the "unroll" position-shift harmonization)
+    >= pctseq when pctseq > 0; a pair where either side lacks sequence
+    FAILS the gate (truvari treats unresolved entries as seqsim 0) and is
+    counted in the summary's `seq_unresolved_pairs`
   * SVTYPE must match unless typeignore (DUP and tDUP are treated as one
     type family, mirroring evaluate._COMPATIBLE / refine_type semantics)
   * greedy one-to-one assignment by descending match score
@@ -34,9 +35,13 @@ no truvari code was consulted.
 
 from __future__ import annotations
 
-import difflib
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
+
+try:                        # the same C library truvari's seqsim uses
+    import Levenshtein as _lev
+except ImportError:         # pure-python twin below (bit-parallel LCS)
+    _lev = None
 
 _TYPE_FAMILY = {"TDUP": "DUP", "DUP:TANDEM": "DUP", "DUP:INT": "DUP"}
 
@@ -116,10 +121,61 @@ def parse_sv_entries(vcf_path: str) -> List[SvEntry]:
     return out
 
 
-def _seq_similarity(a: Optional[str], b: Optional[str]) -> Optional[float]:
+def _lcs_len(a: str, b: str) -> int:
+    """Bit-parallel LCS length (Hyyro): O(len(a)*len(b)/64).
+
+    With substitution cost 2, Levenshtein distance reduces to
+    len(a)+len(b)-2*LCS, so Levenshtein.ratio == 2*LCS/(len(a)+len(b)) —
+    verified exactly against python-Levenshtein on random pairs
+    (tests/test_truvari_differential.py)."""
+    m = len(a)
+    if m == 0 or len(b) == 0:
+        return 0
+    alpha: Dict[str, int] = {}
+    for i, ch in enumerate(a):
+        alpha[ch] = alpha.get(ch, 0) | (1 << i)
+    mask = (1 << m) - 1
+    v = mask
+    for ch in b:
+        u = v & alpha.get(ch, 0)
+        v = ((v + u) | (v - u)) & mask
+    return m - bin(v).count("1")
+
+
+def seq_ratio(a: str, b: str) -> float:
+    """truvari's sequence similarity: python-Levenshtein ratio
+    (sub-cost-2 edit similarity). Uses the C library when present, the
+    bit-parallel LCS twin otherwise. (Round 2 used difflib's
+    Ratcliff-Obershelp ratio — a documented divergence from truvari, now
+    retired.)"""
+    tot = len(a) + len(b)
+    if tot == 0:
+        return 1.0
+    if _lev is not None:
+        return _lev.ratio(a, b)
+    return 2.0 * _lcs_len(a, b) / tot
+
+
+def unroll_ratio(a: str, b: str, shift: int) -> float:
+    """truvari's reference-context harmonization ("unroll", truvari>=4):
+    two insertions placed `shift` bp apart inside a tandem repeat carry
+    rotated copies of the same sequence, so the comparison rotates each
+    side by the position delta and keeps the best of direct/rolled."""
+    best = seq_ratio(a, b)
+    if shift and len(a) and len(b):
+        ra = shift % len(a)
+        rb = shift % len(b)
+        best = max(best,
+                   seq_ratio(a[ra:] + a[:ra], b),
+                   seq_ratio(a, b[rb:] + b[:rb]))
+    return best
+
+
+def _seq_similarity(a: Optional[str], b: Optional[str],
+                    shift: int = 0) -> Optional[float]:
     if not a or not b:
         return None
-    return difflib.SequenceMatcher(None, a, b).ratio()
+    return unroll_ratio(a, b, shift)
 
 
 def _rec_overlap(a: SvEntry, b: SvEntry) -> float:
@@ -158,7 +214,8 @@ def match_score(base: SvEntry, comp: SvEntry, refdist: int, pctsize: float,
             return None
         terms.append(ovl)
     if pctseq > 0:
-        sim = _seq_similarity(base.seq, comp.seq)
+        sim = _seq_similarity(base.seq, comp.seq,
+                              shift=abs(base.start - comp.start))
         if sim is None:
             # truvari scores comparisons against sequence-unresolved entries
             # as non-matching under pctseq>0 (seqsim = 0); counting them as
