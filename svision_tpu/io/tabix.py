@@ -18,9 +18,23 @@ import os
 import struct
 from typing import Dict, Iterator, List, Optional, Tuple
 
-from svision_tpu.io.bam import reg2bins
 from svision_tpu.io.bamwrite import _reg2bin
 from svision_tpu.io.bgzf import BgzfReader, BgzfWriter
+
+# level start offsets for the TBI 5-level / 14-bit binning:
+# ofs(l) = ((1 << 3l) - 1) / 7
+_BIN_OFS = tuple(((1 << (3 * l)) - 1) // 7 for l in range(6))
+
+
+def _bin_interval(b: int) -> Tuple[int, int]:
+    """[beg, end) genomic interval covered by TBI bin number `b`
+    (SAM spec §5.3 binning, min_shift=14, depth=5)."""
+    for lvl in range(5, -1, -1):
+        if b >= _BIN_OFS[lvl]:
+            shift = 14 + 3 * (5 - lvl)
+            beg = (b - _BIN_OFS[lvl]) << shift
+            return beg, beg + (1 << shift)
+    return 0, 1 << 29
 
 _TBI_MAGIC = b"TBI\x01"
 _VCF_PRESET = (2, 1, 2, 0, ord("#"), 0)   # format, col_seq, col_beg, col_end, meta, skip
@@ -203,9 +217,17 @@ class TabixFile:
         lin = self._linear[tid]
         win = min(start >> 14, len(lin) - 1) if lin else -1
         min_off = lin[win] if win >= 0 else 0
+        # iterate the bins PRESENT in the index and keep those whose
+        # interval overlaps the region — O(bins with data), not
+        # O(region/16kb): enumerating all candidate bins via reg2bins costs
+        # tens of millions of probes for whole-contig fetches (stop
+        # defaults to 2^40) and dominated every fetch call
         chunks = []
-        for b in reg2bins(start, stop):
-            for cb, ce in bins.get(b, ()):
+        for b, clist in bins.items():
+            bb, be = _bin_interval(b)
+            if bb >= stop or be <= start:
+                continue
+            for cb, ce in clist:
                 if ce > min_off:
                     chunks.append((max(cb, min_off), ce))
         if not chunks:

@@ -42,3 +42,26 @@ def pytest_collection_modifyitems(config, items):
         mod = item.module.__name__.rsplit(".", 1)[-1]
         if mod in SMOKE_MODULES:
             item.add_marker(pytest.mark.smoke)
+
+
+# --- smoke-tier wall-clock budget (VERDICT r2 item 7) ----------------------
+# The tier's promise is <60 s on a 2-vCPU box; enforce it so a creeping
+# per-commit gate fails loudly instead of silently outgrowing its budget.
+SMOKE_BUDGET_S = 60.0
+
+
+def pytest_configure(config):
+    import time
+    if "smoke" in (config.option.markexpr or ""):
+        config._smoke_t0 = time.time()
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import time
+    t0 = getattr(session.config, "_smoke_t0", None)
+    if t0 is not None and exitstatus == 0:
+        elapsed = time.time() - t0
+        if elapsed > SMOKE_BUDGET_S:
+            print(f"\nFAIL: smoke tier took {elapsed:.1f}s "
+                  f"> {SMOKE_BUDGET_S:.0f}s budget (pytest.ini promise)")
+            session.exitstatus = 1
