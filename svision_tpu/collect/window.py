@@ -39,20 +39,31 @@ def _stream_chunks(start: int, end: int, chunk: int):
         pos += chunk
 
 
+def _stream_threads() -> int:
+    """Inflate workers for giant-window streamed fetches: a whole-contig
+    window owns the host (there is no per-window process-pool parallelism
+    to leave cores for), so use them — the default decode_threads() stays
+    serial on small boxes for exactly that pool's sake."""
+    return min(4, os.cpu_count() or 1)
+
+
 def _stream_window(bam, chrom: str, start: int, end: int, options):
     """Bounded-memory collection over a giant window: two chunked passes.
 
     Pass 1 (no sequence decode) accumulates every record's span (coverage
-    counting counts all fetched records, classes.py:165-170) and the global
-    set of qname hashes whose group qualifies for the signature stack.
-    Pass 2 re-fetches chunk by chunk with packed sequences and builds Aln
-    objects only for records in qualifying groups.
+    counting counts all fetched records, classes.py:165-170), the global
+    set of qname hashes whose group qualifies for the signature stack, and
+    each record's BGZF virtual offset. Pass 2 then fetches ONLY the blocks
+    containing qualifying-group records (fetch_batch_at) — at a realistic
+    surviving fraction that skips re-inflating ~99% of the window, which
+    halved contig-mode collection (docs/PERF.md round 3). A stale native
+    lib without the voffset ABI falls back to the round-2 full re-fetch.
 
-    Each record is assigned to the chunk containing its pos (records
+    Each pass-1 record is assigned to the chunk containing its pos (records
     overlapping a chunk boundary are fetched by both sub-fetches; the later
-    one drops them), so the concatenated record stream is EXACTLY the
-    single-fetch stream and every downstream decision is unchanged —
-    byte-identical output is CI-gated (tests/test_contig_stream.py).
+    one drops them), so the record stream is EXACTLY the single-fetch
+    stream and every downstream decision is unchanged — byte-identical
+    output is CI-gated (tests/test_contig_stream.py).
 
     Returns (aln_iterator, pos array, endpos array) or None when the native
     batch path is unavailable (the pure-Python fallback already streams)."""
@@ -60,12 +71,18 @@ def _stream_window(bam, chrom: str, start: int, end: int, options):
     from svision_tpu.io.bam import _batch_to_alns
 
     min_mapq = 0 if options.contig else options.min_mapq
+    threads = _stream_threads()
 
     pos_parts: List[np.ndarray] = []
     end_parts: List[np.ndarray] = []
     qual_hash_parts: List[np.ndarray] = []
+    hash_parts: List[np.ndarray] = []
+    valid_parts: List[np.ndarray] = []
+    voff_parts: List[np.ndarray] = []
+    have_voffs = True
     for cs, ce in _stream_chunks(start, end, STREAM_CHUNK):
-        batch = bam.fetch_batch(chrom, cs, ce, decode_seq=False)
+        batch = bam.fetch_batch(chrom, cs, ce, decode_seq=False,
+                                threads=threads)
         if batch is None:
             return None
         dedup = (batch.pos >= cs) if cs != start \
@@ -73,10 +90,17 @@ def _stream_window(bam, chrom: str, start: int, end: int, options):
         pos_parts.append(batch.pos[dedup].astype(np.int64))
         end_parts.append(np.maximum(batch.endpos[dedup],
                                     batch.pos[dedup] + 1).astype(np.int64))
-        _, qual = record_masks(batch, min_mapq, options.min_sv_size)
+        hashes = qname_hashes(batch)
+        valid, qual = record_masks(batch, min_mapq, options.min_sv_size)
         qual &= dedup
         if qual.any():
-            qual_hash_parts.append(np.unique(qname_hashes(batch)[qual]))
+            qual_hash_parts.append(np.unique(hashes[qual]))
+        if getattr(batch, "voffset", None) is None:
+            have_voffs = False
+        elif have_voffs:
+            voff_parts.append(batch.voffset[dedup].copy())
+            hash_parts.append(hashes[dedup])
+            valid_parts.append(valid[dedup])
 
     pos = np.concatenate(pos_parts) if pos_parts else np.zeros(0, np.int64)
     endpos = (np.concatenate(end_parts) if end_parts
@@ -84,11 +108,35 @@ def _stream_window(bam, chrom: str, start: int, end: int, options):
     group_hashes = (np.unique(np.concatenate(qual_hash_parts))
                     if qual_hash_parts else np.zeros(0, np.uint64))
 
-    def alns():
+    def alns_targeted():
+        if group_hashes.size == 0:
+            return
+        all_voffs = np.concatenate(voff_parts)
+        all_hashes = np.concatenate(hash_parts)
+        all_valid = np.concatenate(valid_parts)
+        keep_voffs = all_voffs[all_valid
+                               & np.isin(all_hashes, group_hashes)]
+        # bounded memory even when (almost) every read survives — an
+        # all-SV assembly contig is exactly that case: fetch the targets
+        # in coordinate-ordered slices
+        per_fetch = 200_000
+        for i in range(0, keep_voffs.size, per_fetch):
+            sl = keep_voffs[i:i + per_fetch]
+            batch = bam.fetch_batch_at(chrom, sl, start, end,
+                                       threads=threads)
+            if batch is None:  # native lib vanished mid-run: impossible
+                raise RuntimeError("native batch path lost during stream")
+            # merged chunk ranges can sweep in records BETWEEN two kept
+            # voffsets: select the exact target set back out
+            sel = np.isin(batch.voffset, sl)
+            yield from _batch_to_alns(batch, bam.references,
+                                      indices=np.nonzero(sel)[0])
+
+    def alns_refetch():
         if group_hashes.size == 0:
             return
         for cs, ce in _stream_chunks(start, end, STREAM_CHUNK):
-            batch = bam.fetch_batch(chrom, cs, ce)
+            batch = bam.fetch_batch(chrom, cs, ce, threads=threads)
             if batch is None:     # native lib vanished mid-run: impossible
                 raise RuntimeError("native batch path lost during stream")
             valid, _ = record_masks(batch, min_mapq, options.min_sv_size)
@@ -100,7 +148,7 @@ def _stream_window(bam, chrom: str, start: int, end: int, options):
             yield from _batch_to_alns(batch, bam.references,
                                       indices=np.nonzero(keep)[0])
 
-    return alns(), pos, endpos
+    return (alns_targeted() if have_voffs else alns_refetch()), pos, endpos
 
 
 @dataclass

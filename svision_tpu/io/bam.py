@@ -384,13 +384,14 @@ class BamReader:
         return native_io, chunks, tid, int(start), int(stop), voffset0, False
 
     def fetch_batch(self, contig: str, start: int = 0, stop: int = None,
-                    decode_seq="packed"):
+                    decode_seq="packed", threads=None):
         """Native structure-of-arrays fetch (None if lib unavailable).
 
         decode_seq defaults to "packed": the C++ scan memcpys the raw 4-bit
         sequence bytes (half the traffic, no expand loop) and
         NativeBatch.seq decodes lazily — only for records that survive the
-        clean-read prefilter. True = legacy ASCII, False = no sequences."""
+        clean-read prefilter. True = legacy ASCII, False = no sequences.
+        threads overrides the inflate worker count (native_io.fetch)."""
         args = self._native_args(contig, start, stop)
         if args is None:
             return None
@@ -399,7 +400,39 @@ class BamReader:
             return native_io.empty_batch()
         return native_io.fetch(self.path, chunks, tid, start, stop,
                                count_only=False, decode_seq=decode_seq,
-                               voffset0=voffset0)
+                               voffset0=voffset0, threads=threads)
+
+    def fetch_batch_at(self, contig: str, voffsets, start: int = 0,
+                       stop: int = None, decode_seq="packed", threads=None,
+                       merge_gap: int = 1 << 16):
+        """Native fetch of the records starting at the given BGZF virtual
+        offsets (from a previous batch's .voffset), merged into chunk
+        ranges so nearby records share one seek+inflate. The region filter
+        (contig, start, stop) still applies; records BETWEEN two merged
+        voffsets are also returned — callers re-apply their selection mask.
+        None if the lib (or its voffset ABI) is unavailable."""
+        from svision_tpu.io import native_io
+        if not native_io.available() or not native_io._load()._has_voffset:
+            return None
+        tid = self._tid[contig]
+        if stop is None:
+            stop = self.lengths[tid]
+        import numpy as np
+        v = np.sort(np.asarray(voffsets, np.uint64))
+        if v.size == 0:
+            return native_io.empty_batch()
+        chunks = []
+        cb = ce = int(v[0])
+        for x in v[1:].tolist():
+            if (x >> 16) - (ce >> 16) <= merge_gap:
+                ce = x
+            else:
+                chunks.append((cb, ce + 1))
+                cb = ce = x
+        chunks.append((cb, ce + 1))
+        return native_io.fetch(self.path, chunks, tid, int(start), int(stop),
+                               count_only=False, decode_seq=decode_seq,
+                               threads=threads)
 
     def fetch(self, contig: str, start: int = 0, stop: int = None,
               decode_seq="packed") -> Iterator[Aln]:

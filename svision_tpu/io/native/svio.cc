@@ -362,6 +362,10 @@ struct Batch {
   std::vector<uint32_t> cigar_buf;
   std::vector<char> seq_buf;
   std::vector<int32_t> seq_len;   // ASCII length per record (packed mode)
+  // BGZF virtual offset of each emitted record's start: lets a caller
+  // re-fetch an exact record subset later without re-inflating the whole
+  // span (the giant-window streaming second pass)
+  std::vector<uint64_t> voffset;
 };
 
 const char SEQ_NT[17] = "=ACMGRSVTWYHKDBN";
@@ -562,7 +566,8 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
     if (!cur.seek_virtual(vbeg)) return;
     uint8_t szb[4];
     while (true) {
-      if (bounded && cur.tell_virtual() >= vend_limit) break;
+      uint64_t vrec = cur.tell_virtual();
+      if (bounded && vrec >= vend_limit) break;
       size_t got = cur.read(szb, 4);
       if (got != 4) {
         if (got != 0) cur.corrupt = true;  // record length cut short
@@ -588,8 +593,12 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
       }
       int rc = parse_record(payload, size, tid, start, end,
                             count_only != 0, decode_seq, &res->batch);
-      if (rc == 1) res->count++;
-      else if (rc == 2) break;  // sorted: past the region
+      if (rc == 1) {
+        res->count++;
+        if (!count_only) res->batch.voffset.push_back(vrec);
+      } else if (rc == 2) {
+        break;  // sorted: past the region
+      }
     }
   };
 
@@ -623,6 +632,10 @@ int64_t* svio_seq_off(SvioResult* r) { return r->batch.seq_off.data(); }
 int32_t* svio_seq_len(SvioResult* r) { return r->batch.seq_len.data(); }
 char* svio_seq_buf(SvioResult* r) { return r->batch.seq_buf.data(); }
 int64_t svio_seq_buf_len(SvioResult* r) { return (int64_t)r->batch.seq_buf.size(); }
+uint64_t* svio_voffset(SvioResult* r) { return r->batch.voffset.data(); }
+
+// bumped whenever the C ABI grows; the Python loader rebuilds a stale .so
+int svio_abi_version() { return 2; }
 
 void svio_result_free(SvioResult* r) { delete r; }
 

@@ -20,14 +20,19 @@ _load_failed = False
 
 
 def ensure_built(quiet: bool = True) -> bool:
-    """Build libsvio.so if missing; returns availability."""
+    """Build libsvio.so if missing or older than its sources."""
     if os.path.exists(_LIB_PATH):
-        return True
+        lib_mtime = os.path.getmtime(_LIB_PATH)
+        srcs = [os.path.join(_NATIVE_DIR, f)
+                for f in ("svio.cc", "inflate.cc")]
+        if all(os.path.getmtime(s) <= lib_mtime
+               for s in srcs if os.path.exists(s)):
+            return True
     try:
         subprocess.run(["make", "-C", _NATIVE_DIR],
                        capture_output=quiet, check=True)
     except Exception:
-        return False
+        return os.path.exists(_LIB_PATH)
     return os.path.exists(_LIB_PATH)
 
 
@@ -38,6 +43,13 @@ def _load():
     if not os.path.exists(_LIB_PATH):
         # Not a permanent failure: the lib may be built later (ensure_built).
         return None
+    # a checkout update can leave a stale .so next to newer sources; rebuild
+    # before binding so new accessors (e.g. svio_voffset) resolve
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("svio.cc", "inflate.cc")]
+    if any(os.path.exists(s)
+           and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
+           for s in srcs):
+        ensure_built()
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
@@ -73,6 +85,12 @@ def _load():
         fn = getattr(lib, name)
         fn.restype = ctypes.c_int64
         fn.argtypes = [ctypes.c_void_p]
+    try:                       # ABI >= 2 (prebuilt v1 libs: no voffsets)
+        lib.svio_voffset.restype = ctypes.POINTER(ctypes.c_uint64)
+        lib.svio_voffset.argtypes = [ctypes.c_void_p]
+        lib._has_voffset = True
+    except AttributeError:
+        lib._has_voffset = False
     lib.svio_result_free.restype = None
     lib.svio_result_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -138,7 +156,8 @@ class NativeBatch:
 
     __slots__ = ("n", "refid", "pos", "endpos", "flag", "mapq",
                  "qname_off", "qname_buf", "cigar_off", "cigar_buf",
-                 "seq_off", "seq_buf", "seq_len", "packed", "_res")
+                 "seq_off", "seq_buf", "seq_len", "packed", "voffset",
+                 "_res")
 
     def qname(self, i: int) -> str:
         return self.qname_buf[self.qname_off[i]:self.qname_off[i + 1]].decode()
@@ -183,18 +202,21 @@ def empty_batch() -> NativeBatch:
     b.seq_buf = b""
     b.packed = False
     b.seq_len = np.zeros(0, np.int32)
+    b.voffset = np.zeros(0, np.uint64)
     return b
 
 
 def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
           start: int, end: int, count_only: bool = False,
-          decode_seq=True, voffset0: int = 0):
+          decode_seq=True, voffset0: int = 0,
+          threads: Optional[int] = None):
     """Run the native fetch; returns record count (count_only) or NativeBatch.
 
     decode_seq: False/0 = none, True/1 = ASCII, "packed"/2 = raw nibbles
     decoded lazily by NativeBatch.seq. With an empty chunk list, scans
     forward from voffset0 (the body start) filtering by region — the
-    no-index fallback."""
+    no-index fallback. threads overrides decode_threads() for callers that
+    own the whole machine (giant-window streaming)."""
     lib = _load()
     assert lib is not None
     seq_mode = 2 if decode_seq == "packed" else int(bool(decode_seq))
@@ -203,7 +225,8 @@ def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
     endv = (ctypes.c_uint64 * n)(*[c[1] for c in chunks]) if n else None
     res = lib.svio_fetch(bam_path.encode(), beg, endv, n, voffset0, tid,
                          start, end, int(count_only), seq_mode,
-                         decode_threads())
+                         decode_threads() if threads is None
+                         else max(1, threads))
     if not res:
         raise OSError(f"svio_fetch failed for {bam_path}")
     if lib.svio_result_error(res):
@@ -247,4 +270,6 @@ def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
     b.packed = seq_mode == 2
     b.seq_len = (arr(lib.svio_seq_len, b.n, np.int32) if seq_mode == 2
                  else None)
+    b.voffset = (arr(lib.svio_voffset, b.n, np.uint64)
+                 if lib._has_voffset else None)
     return b
