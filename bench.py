@@ -42,7 +42,7 @@ def random_specs(n, seed=0):
     return specs
 
 
-def measure_tpu(batch_size=128, n_batches=512, seed=0):
+def measure_tpu(batch_size=128, n_batches=512, seed=0, chunk=128):
     import jax
     from svision_tpu.infer.engine import InferenceEngine
     from svision_tpu.models import alexnet
@@ -52,7 +52,7 @@ def measure_tpu(batch_size=128, n_batches=512, seed=0):
 
     params = alexnet.init_params(jax.random.PRNGKey(0))
     engine = InferenceEngine(params, batch_size=batch_size, bf16=True,
-                             fast=True, chunk=128)
+                             fast=True, chunk=chunk)
 
     specs = random_specs(batch_size * n_batches, seed)
     # warmup/compile the exact super-chunk shape the measurement uses
@@ -180,11 +180,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--batches", type=int, default=512)
+    ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument("--refresh-baseline", action="store_true")
     args = ap.parse_args()
 
     baseline = get_baseline(args.refresh_baseline)
-    tpu = measure_tpu(args.batch, args.batches)
+    tpu = measure_tpu(args.batch, args.batches, chunk=args.chunk)
     print(json.dumps({
         "metric": "similarity_images_per_s_chip (encoder+CNN fwd)",
         "value": round(tpu, 2),

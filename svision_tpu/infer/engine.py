@@ -339,6 +339,13 @@ class InferenceEngine:
                     self.params, ep_d, vis_d, rev_d,
                     compute_dtype=self.compute_dtype))
             i += 1
+        # overlap ALL device->host result copies before converting: a
+        # serial np.asarray per output pays one tunnel round-trip each
+        # (~15 ms x 2 arrays x n_chunks measured 129 ms per 65k-image
+        # call); async copies start together and drain in one wait
+        for p, s in outs:
+            p.copy_to_host_async()
+            s.copy_to_host_async()
         preds = np.concatenate([np.asarray(p) for p, _ in outs])
         softs = np.concatenate([np.asarray(s) for _, s in outs])
         return preds[:n], softs[:n]
