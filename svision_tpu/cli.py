@@ -214,6 +214,62 @@ def _collect_worker(args):
     return run_detect(options, bam_path, chrom, part, start, end)
 
 
+def finalize_vcf(merged_vcf_path: str, work_dir: str, options: Options) -> str:
+    """Post-merge steps shared by every merge site (single-process,
+    --merge_shards, --coordinator host 0): the --graph annotation step
+    (SVision:341-359 — which then DELETES the plain VCF, reference
+    semantics), --mechanism, --cluster, and --bgzip. Returns the final VCF
+    path. Before round 3 the sharded merge paths skipped everything but
+    bgzip, so a sharded --graph run never produced its .graph.vcf."""
+    import shutil
+
+    final_vcf = merged_vcf_path
+    if options.graph:
+        from svision_tpu.collect.graph import collect_csv_same_format
+        logging.info("**** Step3 Computing graphs ****")
+        graph_out_path = os.path.join(work_dir, "graphs")
+        collect_csv_same_format(graph_out_path, merged_vcf_path, options)
+        for entry in os.listdir(graph_out_path):
+            full = os.path.join(graph_out_path, entry)
+            if os.path.isdir(full):
+                shutil.rmtree(full)
+        os.remove(merged_vcf_path)
+        final_vcf = os.path.join(
+            work_dir, f"{options.sample}.svision.s{options.min_support}.graph.vcf")
+
+    if options.mechanism:
+        from svision_tpu.call.annotation import annotate_mechanisms
+        logging.info("**** Step4 Mechanism annotation ****")
+        mech_dir = os.path.join(work_dir, "mechanism_out")
+        rpmask_bin = shutil.which(options.rpmask)
+        trf_bin = shutil.which(options.trf)
+        if not rpmask_bin and not trf_bin:
+            logging.warning("RepeatMasker/TRF binaries not found; parsing "
+                            "pre-existing outputs under %s only", mech_dir)
+        final_vcf = annotate_mechanisms(final_vcf, mech_dir, options,
+                                        rpmask_bin=rpmask_bin,
+                                        trf_bin=trf_bin)
+
+    if options.cluster:
+        from svision_tpu.call.callset_cluster import cluster_original_callset
+        logging.info("[Additional Func: cluster] Starting cluster original "
+                     "callset......")
+        cluster_out_file = os.path.join(
+            work_dir, "{0}.svision.s{1}.clusterd.vcf".format(
+                options.sample, options.min_support))
+        n = cluster_original_callset(final_vcf, options.bam_path,
+                                     cluster_out_file)
+        logging.info("Clustered callset written to %s (%s merged clusters)",
+                     cluster_out_file, n)
+
+    if options.bgzip:
+        from svision_tpu.io.tabix import bgzip_vcf
+        gz, tbi = bgzip_vcf(final_vcf)
+        logging.info("bgzipped + indexed: %s (%s)", gz, tbi)
+        final_vcf = gz
+    return final_vcf
+
+
 def run_pipeline(options: Options) -> str:
     """Full pipeline; returns the path of the final VCF.
 
@@ -250,21 +306,13 @@ def run_pipeline(options: Options) -> str:
                 logging.info("shard %d/%d done; fragments gathered to "
                              "process 0", options.shard_id, options.num_shards)
                 return os.path.join(work_dir, "predict_results")
-            if options.bgzip:
-                from svision_tpu.io.tabix import bgzip_vcf
-                merged, tbi = bgzip_vcf(merged)
-                logging.info("bgzipped + indexed: %s (%s)", merged, tbi)
-            return merged
+            return finalize_vcf(merged, work_dir, options)
         bam = BamReader(options.bam_path)
         ref = FastaFile(options.genome)
         chrom_order = list(build_task_list(bam, ref, options))
         if options.merge_shards:
             merged = dist.merge_all(options, chrom_order)
-            if options.bgzip:
-                from svision_tpu.io.tabix import bgzip_vcf
-                merged, tbi = bgzip_vcf(merged)
-                logging.info("bgzipped + indexed: %s (%s)", merged, tbi)
-            return merged
+            return finalize_vcf(merged, work_dir, options)
         handled = dist.run_shard(options, options.shard_id,
                                  options.num_shards)
         logging.info("shard %d/%d finished chromosomes: %s",
@@ -463,51 +511,7 @@ def run_pipeline(options: Options) -> str:
         work_dir, f"{options.sample}.svision.s{options.min_support}.vcf")
     merge_split_vcfs(predict_results_dir, merged_vcf_path, max_score,
                      min_score, list(tasks.keys()), ref, options)
-    final_vcf = merged_vcf_path
-
-    if options.graph:
-        from svision_tpu.collect.graph import collect_csv_same_format
-        logging.info("**** Step3 Computing graphs ****")
-        graph_out_path = os.path.join(work_dir, "graphs")
-        collect_csv_same_format(graph_out_path, merged_vcf_path, options)
-        for entry in os.listdir(graph_out_path):
-            full = os.path.join(graph_out_path, entry)
-            if os.path.isdir(full):
-                shutil.rmtree(full)
-        os.remove(merged_vcf_path)
-        final_vcf = os.path.join(
-            work_dir, f"{options.sample}.svision.s{options.min_support}.graph.vcf")
-
-    if options.mechanism:
-        from svision_tpu.call.annotation import annotate_mechanisms
-        logging.info("**** Step4 Mechanism annotation ****")
-        mech_dir = os.path.join(work_dir, "mechanism_out")
-        rpmask_bin = shutil.which(options.rpmask)
-        trf_bin = shutil.which(options.trf)
-        if not rpmask_bin and not trf_bin:
-            logging.warning("RepeatMasker/TRF binaries not found; parsing "
-                            "pre-existing outputs under %s only", mech_dir)
-        final_vcf = annotate_mechanisms(final_vcf, mech_dir, options,
-                                        rpmask_bin=rpmask_bin,
-                                        trf_bin=trf_bin)
-
-    if options.cluster:
-        from svision_tpu.call.callset_cluster import cluster_original_callset
-        logging.info("[Additional Func: cluster] Starting cluster original "
-                     "callset......")
-        cluster_out_file = os.path.join(
-            work_dir, "{0}.svision.s{1}.clusterd.vcf".format(
-                options.sample, options.min_support))
-        n = cluster_original_callset(final_vcf, options.bam_path,
-                                     cluster_out_file)
-        logging.info("Clustered callset written to %s (%s merged clusters)",
-                     cluster_out_file, n)
-
-    if options.bgzip:
-        from svision_tpu.io.tabix import bgzip_vcf
-        gz, tbi = bgzip_vcf(final_vcf)
-        logging.info("bgzipped + indexed: %s (%s)", gz, tbi)
-        final_vcf = gz
+    final_vcf = finalize_vcf(merged_vcf_path, work_dir, options)
 
     if not options.debug:
         shutil.rmtree(predict_results_dir, ignore_errors=True)

@@ -88,11 +88,24 @@ def _pack_files(base_dir: str, relnames: Sequence[str]) -> bytes:
     return b"".join(parts)
 
 
-def _pack_fragments(predict_dir: str) -> bytes:
-    """This shard's VCF/score fragments (flat dir) as one blob."""
-    names = sorted(f for f in os.listdir(predict_dir)
-                   if f.endswith(".vcf") or f.endswith(".score.txt"))
-    return _pack_files(predict_dir, names)
+def _pack_fragments(out_path: str) -> bytes:
+    """This shard's merge inputs as one blob (paths relative to out_path):
+    predict_results VCF/score fragments plus, under --graph, the per-read
+    GFA region dirs the graph step consumes (graphs/{region}/{read}.gfa)."""
+    rels: List[str] = []
+    pdir = os.path.join(out_path, "predict_results")
+    if os.path.isdir(pdir):
+        rels.extend(f"predict_results/{f}" for f in sorted(os.listdir(pdir))
+                    if f.endswith(".vcf") or f.endswith(".score.txt"))
+    gdir = os.path.join(out_path, "graphs")
+    if os.path.isdir(gdir):
+        for sub in sorted(os.listdir(gdir)):
+            subp = os.path.join(gdir, sub)
+            if os.path.isdir(subp):
+                rels.extend(f"graphs/{sub}/{f}"
+                            for f in sorted(os.listdir(subp))
+                            if f.endswith(".gfa"))
+    return _pack_files(out_path, rels)
 
 
 def _unpack_fragments(blob: bytes, dest_dir: str) -> List[str]:
@@ -141,11 +154,12 @@ def _gather_blob_to_host0(blob_bytes: bytes) -> Optional[List[bytes]]:
             for p in range(jax.process_count())]
 
 
-def gather_fragments_to_host0(predict_dir: str) -> None:
-    """Ship every shard's VCF/score fragments to process 0 over the
-    jax.distributed channel — the non-shared-filesystem finish (the
-    reference's merger re-reads per-chrom files from one directory,
-    output.py:601-612; here the directory exists only on host 0).
+def gather_fragments_to_host0(out_path: str) -> None:
+    """Ship every shard's merge inputs (VCF/score fragments + --graph GFA
+    region dirs) to process 0 over the jax.distributed channel — the
+    non-shared-filesystem finish (the reference's merger re-reads per-chrom
+    files from one directory, output.py:601-612; here the directory exists
+    only on host 0).
 
     COLLECTIVE: every process must call this after its run_shard. Fragment
     sizes differ per shard, so the gather is two-phase: fixed-size length
@@ -153,10 +167,10 @@ def gather_fragments_to_host0(predict_dir: str) -> None:
     import jax
     if jax.process_count() <= 1:
         return
-    blobs = _gather_blob_to_host0(_pack_fragments(predict_dir))
+    blobs = _gather_blob_to_host0(_pack_fragments(out_path))
     if blobs is not None:
         for p in range(1, len(blobs)):
-            names = _unpack_fragments(blobs[p], predict_dir)
+            names = _unpack_fragments(blobs[p], out_path)
             logging.info("gathered %d fragment files from shard %d",
                          len(names), p)
 
@@ -199,8 +213,7 @@ def run_distributed(options) -> Optional[str]:
     init_distributed(options.coordinator, options.num_shards,
                      options.shard_id)
     run_shard(options, options.shard_id, options.num_shards)
-    predict_dir = os.path.join(options.out_path, "predict_results")
-    gather_fragments_to_host0(predict_dir)
+    gather_fragments_to_host0(options.out_path)
 
     import jax
     if jax.process_count() > 1 and jax.process_index() != 0:

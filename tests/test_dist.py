@@ -103,3 +103,30 @@ def test_cli_shard_flags(multi_chrom_ws, tmp_path):
         assert frag_dir.endswith("predict_results")
     vcf2 = run_pipeline(parse_arguments(base + ["--merge_shards"]))
     assert open(vcf1).read() == open(vcf2).read()
+
+
+def test_cli_shard_graph_merge(multi_chrom_ws, tmp_path):
+    """A sharded --graph run's --merge_shards must run the graph step
+    (cli.finalize_vcf) and byte-equal the single-process --graph run —
+    before round 3 the merge path skipped everything but bgzip, so the
+    .graph.vcf was never produced."""
+    ws = multi_chrom_ws
+    gflags = ["--graph", "--qname"]
+    vcf1 = run_pipeline(parse_arguments(
+        ["-o", str(tmp_path / "one"), "-b", ws["bam"], "-g", ws["genome"],
+         "-m", ws["weights"], "-n", "dist", "-s", "3", "--batch_size", "16"]
+        + gflags))
+    assert vcf1.endswith(".graph.vcf")
+
+    out2 = str(tmp_path / "two")
+    base = ["-o", out2, "-b", ws["bam"], "-g", ws["genome"],
+            "-m", ws["weights"], "-n", "dist", "-s", "3",
+            "--batch_size", "16"] + gflags
+    for shard in range(2):
+        run_pipeline(parse_arguments(
+            base + ["--num_shards", "2", "--shard_id", str(shard)]))
+    vcf2 = run_pipeline(parse_arguments(base + ["--merge_shards"]))
+    assert vcf2.endswith(".graph.vcf")
+    assert open(vcf1).read() == open(vcf2).read()
+    # the plain VCF is deleted after graph annotation (reference semantics)
+    assert not os.path.exists(vcf2.replace(".graph.vcf", ".vcf"))
