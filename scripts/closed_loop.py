@@ -37,6 +37,11 @@ def main(argv=None):
     ap.add_argument("--csv", action="store_true",
                     help="include complex events (DEL+INS, INV+DEL) in the "
                          "held-out genome and run the caller with --graph")
+    ap.add_argument("--small-curriculum", action="store_true",
+                    help="augment training with a second simulated genome "
+                         "of SMALL events (50-300 bp, the INS/tDUP/DEL "
+                         "confusable scale) and evaluate on 50-300 bp "
+                         "events as well")
     ap.add_argument("--device-loop", action="store_true",
                     help="train with fit_device (whole run = one jitted "
                          "program; no per-step dispatch)")
@@ -60,6 +65,12 @@ def main(argv=None):
     t0 = time.perf_counter()
     specs, labels, _ = build_dataset(n_per_type=ns.train_per_type,
                                      seed=ns.train_seed, support=ns.support)
+    if ns.small_curriculum:
+        s2, l2, _ = build_dataset(n_per_type=ns.train_per_type,
+                                  seed=ns.train_seed + 1000,
+                                  support=ns.support, size_range=(50, 300))
+        specs = np.concatenate([specs, s2])
+        labels = np.concatenate([labels, l2])
     counts = {CLASS_NAMES[c]: int((labels == c).sum()) for c in range(5)}
     report["train_examples"] = counts
     print(f"[1/4] dataset: {len(labels)} examples {counts} "
@@ -88,8 +99,9 @@ def main(argv=None):
     kinds = ("DEL", "INS", "INV", "DUP", "tDUP")
     if ns.csv:
         kinds = kinds + ("DEL+INS", "INV+DEL")
+    eval_sizes = (50, 300) if ns.small_curriculum else (120, 600)
     events, chrom_len = simulate_events(ns.eval_per_type, seed=ns.eval_seed,
-                                        kinds=kinds)
+                                        kinds=kinds, size_range=eval_sizes)
     eval_dir = os.path.join(ns.out, "eval")
     os.makedirs(eval_dir, exist_ok=True)
     genome = os.path.join(eval_dir, "ref.fa")

@@ -216,11 +216,11 @@ def _k_runs(j, majorb, minorb):
 def render_raster_s2d(endpoints: jnp.ndarray, visible: jnp.ndarray,
                       reverse: jnp.ndarray, *, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Comparison raster emitted DIRECTLY in conv1's space-to-depth layout:
-    [N,57,57,48] with channel = (p*4+q)*3 + ch for pixel (4R+p, 4C+q).
+    [N,57,57,48] with channel = ch*16 + p*4 + q for pixel (4R+p, 4C+q).
 
     Bitwise-identical to alexnet._space_to_depth(render_raster(...)) but
     never materializes the [N,227,227,3] image and never runs the 4x4
-    block transpose: the broadcasting axes are ordered [N,R,C,p,q,ch] from
+    block transpose: the broadcasting axes are ordered [N,R,C,ch,p,q] from
     the start, so the final reshape is free. Rows/cols 227 (the s2d pad
     line) stay dark automatically: clipped endpoints are <= 226, so no
     membership predicate can fire there.
