@@ -273,6 +273,8 @@ class InferenceEngine:
                                     self._put_batch(vis),
                                     self._put_batch(rev),
                                     compute_dtype=self.compute_dtype)
+            p.copy_to_host_async()
+            s.copy_to_host_async()
             return np.asarray(p)[:n], np.asarray(s)[:n]
 
         # adaptive chunking: full super-chunks of `chunk` batches, then a
