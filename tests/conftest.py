@@ -37,10 +37,16 @@ SMOKE_MODULES = {
 }
 
 
+# individually heavy tests excluded from the smoke tier (they stay in the
+# "not slow" pre-merge tier); keeps the cold-cache gate comfortably inside
+# its 60 s budget on a 2-vCPU box
+SMOKE_EXCLUDE = {"test_aggregate_parity"}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
-        if mod in SMOKE_MODULES:
+        if mod in SMOKE_MODULES and item.name not in SMOKE_EXCLUDE:
             item.add_marker(pytest.mark.smoke)
 
 
