@@ -65,18 +65,85 @@ def forward_train(params: Params, x: jax.Array, rng: jax.Array,
     return h
 
 
+def forward_train_s2d(params: Params, raster_s2d: jax.Array, rng: jax.Array,
+                      keep_prob: float = 0.5, compute_dtype=jnp.float32):
+    """AlexNet training forward fed a {0,1} raster in conv1's space-to-depth
+    layout [N,57,57,48] (rasterize.render_raster_s2d).
+
+    conv1 is folded ON THE FLY inside the differentiable graph — the fold
+    (alexnet.fold_conv1_params: x255 scale into the weights, IMAGE_MEAN
+    into the bias, 11x11 s4 -> 3x3 s1 over 48 channels, (c,p,q) interleave)
+    is linear in the parameters, so gradients flow straight back to the
+    REFERENCE-space conv1/weights [11,11,3,96] and checkpoints stay
+    TF1-compatible. Replaces the MXU-hostile 11x11 s4 conv over 3 channels
+    (3/128 contraction lanes) and the f32 [N,227,227,3] image tensor."""
+    inter = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
+    w = params["conv1/weights"]                                # [11,11,3,96]
+    b = params["conv1/biases"]
+    mean = jnp.asarray(alexnet.IMAGE_MEAN, w.dtype)
+    b_fold = b - jnp.einsum("hwco,c->o", w, mean)
+    pad = alexnet._K1_PAD - w.shape[0]
+    w_pad = jnp.pad(w * 255.0, ((0, pad), (0, pad), (0, 0), (0, 0)))
+    kh = alexnet._K1_PAD // alexnet._S2D
+    w_s2d = (w_pad.reshape(kh, alexnet._S2D, kh, alexnet._S2D, 3, w.shape[3])
+             .transpose(0, 2, 4, 1, 3, 5)
+             .reshape(kh, kh, alexnet._S2D * alexnet._S2D * 3, w.shape[3]))
+
+    h = raster_s2d.astype(compute_dtype)
+    h = jax.lax.conv_general_dilated(
+        h, w_s2d.astype(compute_dtype), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=inter)
+    h = jax.nn.relu(h + b_fold.astype(inter))
+    h = alexnet._maxpool(h)
+    h = alexnet.lrn(h)
+    h = h.astype(compute_dtype)
+    for name, _, _, _, stride, padding, groups in alexnet._CONV_SPECS[1:]:
+        wl = params[f"{name}/weights"].astype(compute_dtype)
+        bl = params[f"{name}/biases"].astype(inter)
+        h = jax.lax.conv_general_dilated(
+            h, wl, window_strides=(stride, stride), padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups, preferred_element_type=inter)
+        h = jax.nn.relu(h + bl)
+        if name == "conv2":
+            h = alexnet._maxpool(h)
+            h = alexnet.lrn(h)
+        elif name == "conv5":
+            h = alexnet._maxpool(h)
+        h = h.astype(compute_dtype)
+    h = h.reshape(h.shape[0], -1)
+    rngs = jax.random.split(rng, 2)
+    for i, (name, _, _) in enumerate(alexnet._FC_SPECS):
+        wl = params[f"{name}/weights"].astype(compute_dtype)
+        if name == "fc8":
+            bl = params[f"{name}/biases"].astype(jnp.float32)
+            h = jnp.dot(h.astype(jnp.float32), wl.astype(jnp.float32)) + bl
+        else:
+            bl = params[f"{name}/biases"].astype(inter)
+            h = jnp.dot(h, wl, preferred_element_type=inter) + bl
+            h = jax.nn.relu(h)
+            keep = jax.random.bernoulli(rngs[i], keep_prob, h.shape)
+            h = jnp.where(keep, h / keep_prob,
+                          jnp.zeros((), inter)).astype(compute_dtype)
+    return h
+
+
 def loss_fn(params: Params, images: jax.Array, labels: jax.Array,
             rng: jax.Array, keep_prob: float = 0.5,
-            compute_dtype=jnp.float32) -> jax.Array:
-    logits = forward_train(params, images, rng, keep_prob, compute_dtype)
+            compute_dtype=jnp.float32, s2d: bool = False) -> jax.Array:
+    fwd = forward_train_s2d if s2d else forward_train
+    logits = fwd(params, images, rng, keep_prob, compute_dtype)
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     return jnp.mean(ce)
 
 
 def make_train_step(optimizer=None, keep_prob: float = 0.5,
-                    compute_dtype=jnp.float32):
+                    compute_dtype=jnp.float32, s2d: bool = False):
     """Returns (init_state, train_step). train_step is jit-ready and
-    shardable: jit it with mesh shardings for multi-chip DP/TP."""
+    shardable: jit it with mesh shardings for multi-chip DP/TP.
+    s2d=True: the images argument is the {0,1} s2d raster [N,57,57,48]
+    (forward_train_s2d); params stay reference-space either way."""
     if optimizer is None:
         optimizer = optax.sgd(1e-3, momentum=0.9)
 
@@ -85,7 +152,7 @@ def make_train_step(optimizer=None, keep_prob: float = 0.5,
 
     def train_step(params: Params, opt_state, images, labels, rng):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, images, labels, rng, keep_prob, compute_dtype)
+            params, images, labels, rng, keep_prob, compute_dtype, s2d)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -217,7 +284,8 @@ def fit(params: Params, specs, labels, *, epochs: int = 3,
 def fit_device(params: Params, specs, labels, *, epochs: int = 16,
                batch_size: int = 32, seed: int = 0,
                learning_rate: float = 5e-3, keep_prob: float = 0.5,
-               compute_dtype=jnp.float32, augment: bool = True, log=None):
+               compute_dtype=jnp.float32, augment: bool = True,
+               s2d: bool = True, log=None):
     """Device-resident training: the WHOLE run is one jitted program.
 
     `fit()` dispatches one program per batch (host shuffle, host->device
@@ -226,6 +294,14 @@ def fit_device(params: Params, specs, labels, *, epochs: int = 16,
     once and a lax.scan over epochs of a lax.scan over steps does shuffle
     (jax.random.permutation), rasterization, augmentation, and the update
     entirely on-chip — a single dispatch for the full run.
+
+    s2d=True (default) renders the {0,1} raster straight into conv1's
+    space-to-depth layout and trains through the differentiable fold
+    (forward_train_s2d) — same reference-space parameters, no f32 image
+    tensor and no 11x11 s4 conv. The cv2.flip augmentation becomes an
+    ENDPOINT mirror (columns c -> 226-c) before rasterizing; it can differ
+    from the image flip on Bresenham tie pixels, which is immaterial for
+    augmentation (s2d=False keeps the round-2 image-space path).
 
     Returns (params, history) like fit(); history = per-epoch mean loss.
     """
@@ -236,7 +312,7 @@ def fit_device(params: Params, specs, labels, *, epochs: int = 16,
     optimizer = _optax.chain(_optax.clip_by_global_norm(1.0),
                              _optax.sgd(learning_rate, momentum=0.9))
     _, train_step = make_train_step(optimizer, keep_prob=keep_prob,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype, s2d=s2d)
 
     specs = np.asarray(specs)
     labels_np = np.asarray(labels, np.int32)
@@ -266,9 +342,21 @@ def fit_device(params: Params, specs, labels, *, epochs: int = 16,
                 # translation + breakpoint jitter in endpoint space (see
                 # jitter_endpoints_np) — on-device, per step
                 ep_b = jitter_endpoints_jax(ep_b, kaug)
-            images = rasterize.render_images(ep_b, vis_d[idx], rev_d[idx])
-            # cv2.flip-equivalent augmentation: mirror the ref axis
-            images = jnp.where(flip, images[:, :, ::-1, :], images)
+            if s2d:
+                # cv2.flip-equivalent augmentation as an endpoint mirror
+                # of the ref (column) axis
+                flipped = ep_b.at[..., 0::2].set(
+                    rasterize.CANVAS - 1 - ep_b[..., 0::2])
+                ep_b = jnp.where(flip, flipped, ep_b)
+                images = rasterize.render_raster_s2d(
+                    ep_b, vis_d[idx], rev_d[idx],
+                    dtype=jnp.bfloat16 if compute_dtype == jnp.bfloat16
+                    else jnp.float32)
+            else:
+                images = rasterize.render_images(ep_b, vis_d[idx],
+                                                 rev_d[idx])
+                # cv2.flip-equivalent augmentation: mirror the ref axis
+                images = jnp.where(flip, images[:, :, ::-1, :], images)
             params, opt_state, loss = train_step(params, opt_state, images,
                                                  labels_d[idx], kstep)
             return (params, opt_state), loss

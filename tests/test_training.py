@@ -86,3 +86,60 @@ def test_fit_device_augmented_runs():
                                  batch_size=8, seed=1, learning_rate=0.01,
                                  keep_prob=1.0, augment=True)
     assert len(history) == 2 and np.isfinite(history).all()
+
+
+def test_forward_train_s2d_matches_image_path():
+    """forward_train_s2d (differentiable fold, s2d raster) must match
+    forward_train (normalized images) in f32 — logits and conv1 grads."""
+    import jax
+    import jax.numpy as jnp
+    from svision_tpu.models.train import forward_train, forward_train_s2d
+    from svision_tpu.ops import rasterize
+
+    specs, labels = _labeled_specs(8, seed=5)
+    params = alexnet.init_params(jax.random.PRNGKey(0))
+    ep, vis, rev = rasterize.specs_to_endpoints(specs)
+    images = rasterize.render_images_jit(jnp.asarray(ep), jnp.asarray(vis),
+                                         jnp.asarray(rev))
+    raster = rasterize.render_raster_s2d(jnp.asarray(ep), jnp.asarray(vis),
+                                         jnp.asarray(rev), dtype=jnp.float32)
+    rng = jax.random.PRNGKey(3)
+    la = forward_train(params, images, rng, keep_prob=1.0)
+    lb = forward_train_s2d(params, raster, rng, keep_prob=1.0)
+    assert np.allclose(np.asarray(la), np.asarray(lb), atol=2e-3), \
+        np.abs(np.asarray(la) - np.asarray(lb)).max()
+
+    def loss_img(p):
+        lo = forward_train(p, images, rng, keep_prob=1.0)
+        return jnp.mean((lo - 1.0) ** 2)
+
+    def loss_s2d(p):
+        lo = forward_train_s2d(p, raster, rng, keep_prob=1.0)
+        return jnp.mean((lo - 1.0) ** 2)
+
+    ga = jax.grad(loss_img)(params)["conv1/weights"]
+    gb = jax.grad(loss_s2d)(params)["conv1/weights"]
+    # the fold is linear, so gradients map back exactly (up to f32 assoc)
+    denom = max(float(jnp.abs(ga).max()), 1e-9)
+    rel = float(jnp.abs(ga - gb).max()) / denom
+    assert rel < 5e-3, rel
+
+
+@pytest.mark.slow
+def test_fit_device_s2d_equals_image_path():
+    """The s2d device trainer (differentiable fold) follows the SAME
+    optimization trajectory as the image-space path: per-epoch losses
+    match closely under identical seeds/config — the fold is exact up to
+    f32 reassociation, so the two are the same training run."""
+    from svision_tpu.models.train import fit_device
+    specs, labels = _labeled_specs(32, seed=1)
+    histories = []
+    for s2d in (False, True):
+        params = alexnet.init_params(jax.random.PRNGKey(0))
+        _, history = fit_device(params, specs, labels, epochs=3,
+                                batch_size=16, seed=1, learning_rate=0.01,
+                                keep_prob=1.0, augment=False, s2d=s2d)
+        histories.append(np.asarray(history))
+    a, b = histories
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.allclose(a, b, rtol=0.15), (a, b)
