@@ -270,7 +270,7 @@ def finalize_vcf(merged_vcf_path: str, work_dir: str, options: Options) -> str:
     return final_vcf
 
 
-def run_pipeline(options: Options) -> str:
+def run_pipeline(options: Options, engine=None) -> str:
     """Full pipeline; returns the path of the final VCF.
 
     Multi-host mode (--num_shards N --shard_id K): runs only this shard's
@@ -415,18 +415,23 @@ def run_pipeline(options: Options) -> str:
     LAST_METRICS = metrics
 
     logging.info("**** Step2 CNN prediction (pipelined with collection) ****")
-    params = load_params(options.model_path)
-    from svision_tpu.parallel.mesh import resolve_mesh
-    mesh = resolve_mesh(options.mesh)
-    if mesh is not None:
-        logging.info("inference mesh: %d devices (data-parallel)",
-                     mesh.devices.size)
-    engine = InferenceEngine(params, batch_size=options.batch_size,
-                             bf16=options.bf16, mesh=mesh)
-    # Compile the device programs on a background thread while window
-    # collection proceeds: a cold compile costs 20-260 s on the tunneled
-    # backend (cached across runs by enable_persistent_cache).
-    warmup_thread = engine.warmup_async()
+    if engine is None:
+        params = load_params(options.model_path)
+        from svision_tpu.parallel.mesh import resolve_mesh
+        mesh = resolve_mesh(options.mesh)
+        if mesh is not None:
+            logging.info("inference mesh: %d devices (data-parallel)",
+                         mesh.devices.size)
+        engine = InferenceEngine(params, batch_size=options.batch_size,
+                                 bf16=options.bf16, mesh=mesh)
+        # Compile the device programs on a background thread while window
+        # collection proceeds: a cold compile costs 20-260 s on the
+        # tunneled backend (cached by enable_persistent_cache).
+        warmup_thread = engine.warmup_async()
+    else:
+        # serving mode (svision_tpu.serve): a caller-owned engine is
+        # already warm — model load + compile amortize across requests
+        warmup_thread = None
     import contextlib
     profile_ctx = contextlib.nullcontext()
     if options.profile_dir:

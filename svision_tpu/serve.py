@@ -1,0 +1,119 @@
+"""Persistent calling service: load the model ONCE, serve many requests.
+
+The reference is strictly batch — every `SVision` invocation rebuilds the
+TF1 graph and restores the checkpoint (predict.py:155-189). For production
+deployment this module keeps a warm `InferenceEngine` (weights resident,
+device programs compiled) in one long-lived process and runs the full
+calling pipeline per request, so per-request latency is collection +
+inference only — the 20-260 s cold compile and the model load amortize
+across the fleet's requests.
+
+Protocol: one JSON object per line on stdin, one JSON reply per line on
+stdout.
+
+    {"bam": "s.bam", "out": "outdir", "sample": "S1"}
+    {"bam": "s.bam", "out": "o2", "sample": "S2", "region": "chr1:1-500000",
+     "min_support": 3, "args": ["--graph", "--qname"]}
+    {"cmd": "ping"}
+    {"cmd": "shutdown"}
+
+Reply: {"ok": true, "vcf": ..., "records": N, "wall_s": T} or
+{"ok": false, "error": "..."}. Requests are processed sequentially (the
+chip is a serial resource); put a queue in front for fan-in.
+
+Start:  python -m svision_tpu.serve -g ref.fa -m model.npz
+        [--batch_size 128] [--mesh auto] [-t 2] [--exact]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_engine(ns):
+    from svision_tpu.infer.engine import InferenceEngine
+    from svision_tpu.models.checkpoint import load_params
+    from svision_tpu.parallel.mesh import resolve_mesh
+    from svision_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    params = load_params(ns.model_path)
+    engine = InferenceEngine(params, batch_size=ns.batch_size,
+                             bf16=not ns.exact,
+                             mesh=resolve_mesh(ns.mesh))
+    engine.warmup()
+    return engine
+
+
+def handle_request(req: dict, ns, engine) -> dict:
+    from svision_tpu.cli import parse_arguments, run_pipeline
+
+    t0 = time.perf_counter()
+    if req.get("cmd") == "ping":
+        return {"ok": True, "pong": True}
+    for key in ("bam", "out", "sample"):
+        if key not in req:
+            return {"ok": False, "error": f"missing field {key!r}"}
+    args = ["-o", req["out"], "-b", req["bam"], "-g", ns.genome,
+            "-m", ns.model_path, "-n", req["sample"],
+            "-s", str(req.get("min_support", ns.min_support)),
+            "-t", str(ns.thread_num), "--batch_size", str(ns.batch_size)]
+    if req.get("region"):
+        args += ["-c", req["region"]]
+    args += [str(a) for a in req.get("args", [])]
+    options = parse_arguments(args)
+    os.makedirs(options.out_path, exist_ok=True)
+    vcf = run_pipeline(options, engine=engine)
+    n = sum(1 for line in open(vcf) if not line.startswith("#")) \
+        if vcf.endswith(".vcf") else None
+    return {"ok": True, "vcf": vcf, "records": n,
+            "wall_s": round(time.perf_counter() - t0, 2)}
+
+
+def main(argv=None):
+    from svision_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+    ap = argparse.ArgumentParser(
+        description="svision-tpu persistent calling service")
+    ap.add_argument("-g", dest="genome", type=os.path.abspath, required=True)
+    ap.add_argument("-m", dest="model_path", type=os.path.abspath,
+                    required=True)
+    ap.add_argument("-s", dest="min_support", type=int, default=5)
+    ap.add_argument("-t", dest="thread_num", type=int, default=1)
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--mesh", default="auto")
+    ap.add_argument("--exact", action="store_true",
+                    help="f32 reference-faithful numerics (default bf16)")
+    ns = ap.parse_args(argv)
+
+    engine = build_engine(ns)
+    print(json.dumps({"ready": True, "pid": os.getpid()}), flush=True)
+
+    for line in sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except json.JSONDecodeError as exc:
+            print(json.dumps({"ok": False, "error": f"bad json: {exc}"}),
+                  flush=True)
+            continue
+        if req.get("cmd") == "shutdown":
+            print(json.dumps({"ok": True, "bye": True}), flush=True)
+            return
+        try:
+            out = handle_request(req, ns, engine)
+        except SystemExit as exc:       # pipeline abort (bad BAM, ...)
+            out = {"ok": False, "error": f"pipeline exit {exc.code}"}
+        except Exception as exc:        # noqa: BLE001 — server must survive
+            out = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Persistent calling service (svision_tpu/serve.py): one warm engine, many
+requests; per-request output equals a standalone CLI run."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def serve_ws(tmp_path_factory):
+    import jax
+    from svision_tpu.models import alexnet
+    from svision_tpu.models.checkpoint import save_params
+    from tests import synth
+
+    root = tmp_path_factory.mktemp("serve")
+    genome = str(root / "ref.fa")
+    seqs = synth.make_genome(genome, {"chr1": 90000}, seed=17)
+    bam_a = str(root / "a.bam")
+    synth.make_sv_bam(bam_a, seqs, seed=17, support=7,
+                      events=[("DEL", "chr1", 30000, 280)])
+    bam_b = str(root / "b.bam")
+    synth.make_sv_bam(bam_b, seqs, seed=18, support=7,
+                      events=[("INS", "chr1", 50000, 200)])
+    weights = str(root / "w.npz")
+    save_params({k: np.asarray(v) for k, v in
+                 alexnet.init_params(jax.random.PRNGKey(0)).items()}, weights)
+    return dict(root=root, genome=genome, bams=[bam_a, bam_b],
+                weights=weights)
+
+
+@pytest.mark.slow
+def test_serve_two_requests_match_cli(serve_ws, tmp_path):
+    from svision_tpu.cli import parse_arguments, run_pipeline
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "svision_tpu.serve",
+         "-g", serve_ws["genome"], "-m", serve_ws["weights"],
+         "-s", "3", "--batch_size", "16"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, env=env,
+        cwd=os.getcwd())
+    try:
+        ready = json.loads(proc.stdout.readline())
+        assert ready.get("ready") is True
+
+        replies = []
+        for i, bam in enumerate(serve_ws["bams"]):
+            req = {"bam": bam, "out": str(tmp_path / f"r{i}"),
+                   "sample": f"S{i}"}
+            proc.stdin.write(json.dumps(req) + "\n")
+            proc.stdin.flush()
+            replies.append(json.loads(proc.stdout.readline()))
+        # ping + shutdown round-trips
+        proc.stdin.write('{"cmd": "ping"}\n')
+        proc.stdin.flush()
+        assert json.loads(proc.stdout.readline())["pong"] is True
+        proc.stdin.write('{"cmd": "shutdown"}\n')
+        proc.stdin.flush()
+        assert json.loads(proc.stdout.readline())["bye"] is True
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    for i, (bam, rep) in enumerate(zip(serve_ws["bams"], replies)):
+        assert rep["ok"], rep
+        assert rep["records"] >= 1
+        # standalone CLI run must produce the identical VCF
+        direct = run_pipeline(parse_arguments(
+            ["-o", str(tmp_path / f"d{i}"), "-b", bam,
+             "-g", serve_ws["genome"], "-m", serve_ws["weights"],
+             "-n", f"S{i}", "-s", "3", "--batch_size", "16"]))
+        assert open(rep["vcf"]).read() == open(direct).read()
+
+
+@pytest.mark.slow
+def test_serve_error_reply_keeps_server_alive(serve_ws, tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "svision_tpu.serve",
+         "-g", serve_ws["genome"], "-m", serve_ws["weights"],
+         "-s", "3", "--batch_size", "16"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, env=env,
+        cwd=os.getcwd())
+    try:
+        json.loads(proc.stdout.readline())          # ready banner
+        proc.stdin.write(json.dumps(
+            {"bam": "/nope/missing.bam", "out": str(tmp_path / "x"),
+             "sample": "S"}) + "\n")
+        proc.stdin.flush()
+        bad = json.loads(proc.stdout.readline())
+        assert bad["ok"] is False and bad["error"]
+        # server survives: a good request still works
+        proc.stdin.write(json.dumps(
+            {"bam": serve_ws["bams"][0], "out": str(tmp_path / "y"),
+             "sample": "S"}) + "\n")
+        proc.stdin.flush()
+        good = json.loads(proc.stdout.readline())
+        assert good["ok"] is True
+        proc.stdin.write('{"cmd": "shutdown"}\n')
+        proc.stdin.flush()
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
