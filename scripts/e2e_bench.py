@@ -34,7 +34,8 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
     bam = os.path.join(workdir, "sample.bam")
     eventsf = os.path.join(workdir, "events.json")
     params = dict(n_chroms=n_chroms, mb=mb, coverage=coverage,
-                  events_per_chrom=events_per_chrom, seed=seed)
+                  events_per_chrom=events_per_chrom, seed=seed,
+                  fast_genome=bool(fast_genome))
     paramsf = os.path.join(workdir, "fixture_params.json")
     if os.path.exists(fasta) and os.path.exists(bam) and os.path.exists(eventsf):
         # fixture cache hit (--keep reruns at WGS scale skip the multi-minute

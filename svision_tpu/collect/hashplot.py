@@ -40,6 +40,13 @@ def revcomp(seq: str) -> str:
     return seq.encode("latin1").translate(_RC_BYTES)[::-1].decode("latin1")
 
 
+def _fast_ok(seq: str) -> bool:
+    """Every byte inside the fast alphabet? (Cheap eligibility test — no
+    k-mer codes computed.)"""
+    b = np.frombuffer(seq.encode("latin1"), np.uint8)
+    return not b.size or int(_LUT[b].min()) >= 0
+
+
 def _kmer_codes(seq: str, k: int) -> Optional[np.ndarray]:
     """Integer codes of seq's k-mers over the reference's scan range
     (hash_aligner.py:156-165 iterates i in [0, len-(k+1)) — the last two
@@ -219,8 +226,12 @@ class HashAligner:
         if not force_strings and not isinstance(y_hashvalues, list):
             kx = _kmer_codes(x_bases, k)
             krx = _kmer_codes(rev_x, k)
-            ky = (y_hashvalues if y_hashvalues is not None
-                  else _kmer_codes(y_seq, k))
+            if y_hashvalues is not None:
+                ky = y_hashvalues
+            elif y_seq is x_seq:           # self-alignment: reuse x's codes
+                ky = kx
+            else:
+                ky = _kmer_codes(y_seq, k)
         if kx is not None and krx is not None and ky is not None:
             self._run_fast(kx, krx, ky, x_bases, rev_x, y_seq,
                            y_hashvalues is not None, avoid_kmers)
@@ -404,8 +415,7 @@ def hashplot_unmapped(ref_seq: str, read_seq: str, k: int, min_accept: int
     repeat_thresh = 2
     # one mode for BOTH passes: the learned hashvalues/avoid tables are
     # int code arrays in fast mode and k-mer strings in fallback mode
-    force = (_kmer_codes(ref_seq, k) is None
-             or _kmer_codes(read_seq, k) is None)
+    force = not (_fast_ok(ref_seq) and _fast_ok(read_seq))
     aligner_ref = HashAligner(k, min_accept, 0, repeat_thresh)
     aligner_ref.run(ref_seq, ref_seq, force_strings=force)
     diff_segs = aligner_ref.self_diff_segs

@@ -185,6 +185,33 @@ _S2D = 4          # space-to-depth factor == conv1 stride
 _K1_PAD = 12      # conv1 kernel 11 padded to a multiple of the factor
 
 
+def fold_conv1_math(w, b, xp=np):
+    """The conv1 fold, module-generic: xp=numpy for the host pre-transfer
+    fold (fold_conv1_params) and xp=jax.numpy for the DIFFERENTIABLE
+    in-graph fold (models/train.forward_train_s2d). One implementation so
+    a layout change (e.g. the (c,p,q) interleave) cannot drift between the
+    inference and training paths.
+
+    [11,11,3,96] -> [3,3,48,96] with the x255 scale folded in; bias
+    absorbs the IMAGE_MEAN shift (VALID conv: every tap sees a
+    mean-subtracted pixel). Channel interleave is (c,p,q) — the raster
+    stacks its three channels on the axis BEFORE the (p,q) sub-pixels
+    (render_raster_s2d / _space_to_depth), which XLA lays out without the
+    relayout copy the (p,q,c) order forced (+2.4% fused images/s on v5e).
+    """
+    mean = xp.asarray(IMAGE_MEAN).astype(w.dtype)
+    b_fold = b - xp.einsum("hwco,c->o", w, mean)
+    pad = _K1_PAD - w.shape[0]
+    w_pad = xp.pad(w * np.float32(255.0),
+                   ((0, pad), (0, pad), (0, 0), (0, 0)))
+    kh = _K1_PAD // _S2D
+    # [12,12,3,96] -> [a,p,b,q,c,o] -> [a,b,(c,p,q),o] = [3,3,48,96]
+    w_s2d = (w_pad.reshape(kh, _S2D, kh, _S2D, 3, w.shape[3])
+             .transpose(0, 2, 4, 1, 3, 5)
+             .reshape(kh, kh, _S2D * _S2D * 3, w.shape[3]))
+    return w_s2d, b_fold
+
+
 def fold_conv1_params(params: Params) -> Params:
     """Return a params dict whose conv1 is the folded space-to-depth form.
 
@@ -198,22 +225,7 @@ def fold_conv1_params(params: Params) -> Params:
     """
     w = np.asarray(params["conv1/weights"], np.float32)        # [11,11,3,96]
     b = np.asarray(params["conv1/biases"], np.float32)
-    mean = np.asarray(IMAGE_MEAN, np.float32)
-    # bias' = bias - sum_{h,w,c} W[h,w,c,o] * mean[c]  (VALID conv: every tap
-    # sees a mean-subtracted pixel)
-    b_fold = b - np.einsum("hwco,c->o", w, mean)
-    w_scaled = w * np.float32(255.0)
-    pad = _K1_PAD - w.shape[0]
-    w_pad = np.pad(w_scaled, ((0, pad), (0, pad), (0, 0), (0, 0)))
-    kh = _K1_PAD // _S2D
-    # [12,12,3,96] -> [a,p,b,q,c,o] -> [a,b,(c,p,q),o] = [3,3,48,96].
-    # Channel interleave is (c,p,q) — the raster stacks its three channels
-    # on the axis BEFORE the (p,q) sub-pixels (render_raster_s2d /
-    # _space_to_depth), which XLA lays out without the relayout copy the
-    # (p,q,c) order forced (+2.4% fused images/s on v5e).
-    w_s2d = (w_pad.reshape(kh, _S2D, kh, _S2D, 3, w.shape[3])
-             .transpose(0, 2, 4, 1, 3, 5)
-             .reshape(kh, kh, _S2D * _S2D * 3, w.shape[3]))
+    w_s2d, b_fold = fold_conv1_math(w, b, np)
     out = dict(params)
     out["conv1/weights"] = w_s2d
     out["conv1/biases"] = b_fold

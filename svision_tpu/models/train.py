@@ -80,14 +80,9 @@ def forward_train_s2d(params: Params, raster_s2d: jax.Array, rng: jax.Array,
     inter = jnp.float32 if compute_dtype == jnp.float32 else compute_dtype
     w = params["conv1/weights"]                                # [11,11,3,96]
     b = params["conv1/biases"]
-    mean = jnp.asarray(alexnet.IMAGE_MEAN, w.dtype)
-    b_fold = b - jnp.einsum("hwco,c->o", w, mean)
-    pad = alexnet._K1_PAD - w.shape[0]
-    w_pad = jnp.pad(w * 255.0, ((0, pad), (0, pad), (0, 0), (0, 0)))
-    kh = alexnet._K1_PAD // alexnet._S2D
-    w_s2d = (w_pad.reshape(kh, alexnet._S2D, kh, alexnet._S2D, 3, w.shape[3])
-             .transpose(0, 2, 4, 1, 3, 5)
-             .reshape(kh, kh, alexnet._S2D * alexnet._S2D * 3, w.shape[3]))
+    # shared fold math (alexnet.fold_conv1_math) run with jnp: linear in
+    # (w, b), so grad flows straight back to the reference-space params
+    w_s2d, b_fold = alexnet.fold_conv1_math(w, b, jnp)
 
     h = raster_s2d.astype(compute_dtype)
     h = jax.lax.conv_general_dilated(

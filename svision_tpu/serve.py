@@ -14,6 +14,9 @@ stdout.
     {"bam": "s.bam", "out": "outdir", "sample": "S1"}
     {"bam": "s.bam", "out": "o2", "sample": "S2", "region": "chr1:1-500000",
      "min_support": 3, "args": ["--graph", "--qname"]}
+
+Per-request "args" may NOT change engine-fixed settings (--exact,
+--batch_size, --mesh) — those are rejected, not silently ignored.
     {"cmd": "ping"}
     {"cmd": "shutdown"}
 
@@ -49,7 +52,15 @@ def build_engine(ns):
     return engine
 
 
+# request args that would silently disagree with the warm engine's fixed
+# configuration — rejected instead of accepted-and-ignored
+_ENGINE_FLAGS = ("--exact", "--batch_size", "--mesh")
+
+
 def handle_request(req: dict, ns, engine) -> dict:
+    import contextlib
+    import logging
+
     from svision_tpu.cli import parse_arguments, run_pipeline
 
     t0 = time.perf_counter()
@@ -58,16 +69,33 @@ def handle_request(req: dict, ns, engine) -> dict:
     for key in ("bam", "out", "sample"):
         if key not in req:
             return {"ok": False, "error": f"missing field {key!r}"}
+    extra = [str(a) for a in req.get("args", [])]
+    clash = [f for f in _ENGINE_FLAGS if any(a.startswith(f) for a in extra)]
+    if clash:
+        return {"ok": False,
+                "error": f"{clash} are fixed at server startup (the warm "
+                         "engine is built once); restart the server to "
+                         "change them"}
     args = ["-o", req["out"], "-b", req["bam"], "-g", ns.genome,
             "-m", ns.model_path, "-n", req["sample"],
             "-s", str(req.get("min_support", ns.min_support)),
             "-t", str(ns.thread_num), "--batch_size", str(ns.batch_size)]
     if req.get("region"):
         args += ["-c", req["region"]]
-    args += [str(a) for a in req.get("args", [])]
+    args += extra
     options = parse_arguments(args)
     os.makedirs(options.out_path, exist_ok=True)
-    vcf = run_pipeline(options, engine=engine)
+    # fresh log handlers per request, so each request's pipeline log lands
+    # in ITS out dir (basicConfig in run_pipeline is a no-op once the root
+    # logger has handlers)
+    root = logging.getLogger()
+    for h in list(root.handlers):
+        root.removeHandler(h)
+        h.close()
+    # the pipeline (and reference-parity code) print diagnostics to stdout;
+    # stdout is this server's PROTOCOL channel, so route them to stderr
+    with contextlib.redirect_stdout(sys.stderr):
+        vcf = run_pipeline(options, engine=engine)
     n = sum(1 for line in open(vcf) if not line.startswith("#")) \
         if vcf.endswith(".vcf") else None
     return {"ok": True, "vcf": vcf, "records": n,

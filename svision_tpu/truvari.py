@@ -100,8 +100,13 @@ def parse_sv_entries(vcf_path: str) -> List[SvEntry]:
             if allele_resolved:
                 # truvari derives size from the alleles when SVLEN is absent;
                 # this covers sequence-resolved DELs (len(ref) >> len(alt))
-                # from PAV/assembly callsets, not just INS.
-                svlen = abs(len(alt) - len(ref))
+                # from PAV/assembly callsets, not just INS. Equal-length
+                # alleles (sequence-resolved INVs / balanced substitutions)
+                # size by the REF span, not the 0-length difference —
+                # truvari's entry_size does the same; a 0 here silently
+                # dropped such records at the sizemin gate.
+                svlen = abs(len(alt) - len(ref)) or max(len(ref) - 1,
+                                                        end - pos, 1)
             else:
                 svlen = max(end - pos, 0)
         if end <= pos and svtype in ("DEL", "INV", "DUP") and svlen > 0:
@@ -157,10 +162,13 @@ def seq_ratio(a: str, b: str) -> float:
 
 
 def unroll_ratio(a: str, b: str, shift: int) -> float:
-    """truvari's reference-context harmonization ("unroll", truvari>=4):
-    two insertions placed `shift` bp apart inside a tandem repeat carry
-    rotated copies of the same sequence, so the comparison rotates each
-    side by the position delta and keeps the best of direct/rolled."""
+    """Reference-context harmonization in the spirit of truvari>=4's
+    "unroll": two insertions placed `shift` bp apart inside a tandem
+    repeat carry rotated copies of the same sequence, so the comparison
+    rotates each side by the position delta and keeps the best of
+    direct/rolled. NOTE: taking the max over both rotation directions is
+    an UPPER BOUND on truvari's single direction-determined unroll — a
+    documented (mildly permissive) divergence, see docs/EVALUATION.md."""
     best = seq_ratio(a, b)
     if shift and len(a) and len(b):
         ra = shift % len(a)

@@ -58,7 +58,9 @@ SMOKE_BUDGET_S = 60.0
 
 def pytest_configure(config):
     import time
-    if "smoke" in (config.option.markexpr or ""):
+    # arm ONLY for the plain smoke tier: a substring test would also match
+    # `-m "not smoke"` and fail green long-tier runs on the 60 s budget
+    if (config.option.markexpr or "").strip() == "smoke":
         config._smoke_t0 = time.time()
 
 

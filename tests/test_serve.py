@@ -107,3 +107,48 @@ def test_serve_error_reply_keeps_server_alive(serve_ws, tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+@pytest.mark.slow
+def test_serve_protocol_survives_empty_callset_and_rejects_engine_flags(
+        serve_ws, tmp_path):
+    """Two round-3 review findings: (a) pipeline print()s (e.g. the
+    empty-score abort) must not corrupt the stdout JSON protocol; (b)
+    engine-fixed flags in request args are rejected, not ignored."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "svision_tpu.serve",
+         "-g", serve_ws["genome"], "-m", serve_ws["weights"],
+         "-s", "3", "--batch_size", "16"],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True, env=env, cwd=os.getcwd())
+    try:
+        json.loads(proc.stdout.readline())          # ready banner
+        # (a) region with no SVs -> empty callset -> the pipeline's
+        # "Empty output in the score file!!!" print must NOT appear on
+        # stdout; the reply must be one clean JSON error line
+        proc.stdin.write(json.dumps(
+            {"bam": serve_ws["bams"][0], "out": str(tmp_path / "e"),
+             "sample": "S", "region": "chr1:1-2000"}) + "\n")
+        proc.stdin.flush()
+        rep = json.loads(proc.stdout.readline())
+        assert rep["ok"] is False and "exit" in rep["error"]
+        # (b) engine-fixed flag rejected with a helpful error
+        proc.stdin.write(json.dumps(
+            {"bam": serve_ws["bams"][0], "out": str(tmp_path / "f"),
+             "sample": "S", "args": ["--exact"]}) + "\n")
+        proc.stdin.flush()
+        rep2 = json.loads(proc.stdout.readline())
+        assert rep2["ok"] is False and "--exact" in rep2["error"]
+        # server still healthy
+        proc.stdin.write(json.dumps(
+            {"bam": serve_ws["bams"][0], "out": str(tmp_path / "g"),
+             "sample": "S"}) + "\n")
+        proc.stdin.flush()
+        assert json.loads(proc.stdout.readline())["ok"] is True
+        proc.stdin.write('{"cmd": "shutdown"}\n')
+        proc.stdin.flush()
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()

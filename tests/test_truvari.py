@@ -177,3 +177,19 @@ def test_pipeline_vcf_scores_against_itself():
     r = bench(vcf, vcf, sizefilt=50)
     assert r["base_cnt"] == r["comp_cnt"] > 0
     assert r["f1"] == 1.0
+
+
+def test_equal_length_allele_resolved_inv_sizes_by_span(tmp_path):
+    """Sequence-resolved INV (REF/ALT equal length, no SVLEN) must size by
+    the allele span, not the 0-length difference — a 0 silently dropped
+    such records at the sizemin gate (round-3 review finding)."""
+    seq = "N" + "ACGT" * 30
+    rev = "N" + seq[1:][::-1]
+    p = _vcf(tmp_path, "a.vcf", [
+        ("chr1", 9000, ".", seq, rev, 30, "PASS", "SVTYPE=INV;END=9120",
+         "GT", "0/1"),
+    ])
+    (e,) = parse_sv_entries(p)
+    assert e.svtype == "INV" and e.svlen == 120
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 9000, "INV", 120)])
+    assert bench(base, p, pctovl=0.5)["tp_base"] == 1
