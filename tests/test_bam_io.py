@@ -387,3 +387,38 @@ def test_corrupt_block_crc_raises(tmp_path):
         with pytest.raises((ValueError, OSError)):
             for _ in bam.fetch("chr1", 0, 1000000):
                 pass
+
+
+def test_fetch_batch_at_voffset_subsets(tmp_path):
+    """fetch_batch_at must return exactly the records whose virtual offsets
+    are requested (after the isin re-selection), in file order, for
+    arbitrary subsets — the giant-window streaming second pass depends on
+    this (collect/window.py:_stream_window)."""
+    import numpy as np
+    from svision_tpu.io import native_io
+    if not native_io.ensure_built():
+        pytest.skip("native toolchain unavailable")
+    rng = random.Random(23)
+    recs = _mk_reads(rng, 600)
+    p = str(tmp_path / "v.bam")
+    write_bam(p, [("chr1", 1000000), ("chr2", 1000)], recs)
+
+    bam = BamReader(p)
+    full = bam.fetch_batch("chr1", 0, 1000000)
+    assert full is not None and full.voffset is not None
+    assert len(full.voffset) == full.n
+    # voffsets are strictly increasing (file order == coordinate order)
+    assert (np.diff(full.voffset.astype(np.int64)) > 0).all()
+
+    for frac in (0.02, 0.3, 1.0):
+        idx = sorted(rng.sample(range(full.n),
+                                max(1, int(full.n * frac))))
+        want_voffs = full.voffset[idx]
+        got = bam.fetch_batch_at("chr1", want_voffs, 0, 1000000)
+        sel = np.isin(got.voffset, want_voffs)
+        got_voffs = got.voffset[sel]
+        assert np.array_equal(np.sort(want_voffs), got_voffs), frac
+        # record identity, not just offsets: qnames match the full fetch
+        want_names = [full.qname(i) for i in idx]
+        got_names = [got.qname(int(j)) for j in np.nonzero(sel)[0]]
+        assert want_names == got_names
