@@ -52,6 +52,11 @@ def _kmer_codes(seq: str, k: int) -> Optional[np.ndarray]:
     (hash_aligner.py:156-165 iterates i in [0, len-(k+1)) — the last two
     k-mer starts are excluded, a reference quirk kept for parity).
     None when the sequence contains a byte outside the fast alphabet."""
+    if _KBASE ** k >= 2 ** 62:
+        # base-33 packing overflows int64 at k >= 13: distinct k-mers could
+        # collide after wraparound, silently diverging from the string
+        # oracle. --k_size is user-settable, so force the exact path.
+        return None
     b = np.frombuffer(seq.encode("latin1"), np.uint8)
     codes = _LUT[b]
     if codes.size and codes.min() < 0:

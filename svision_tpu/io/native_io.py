@@ -18,10 +18,24 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libsvio.so")
 _lib = None
 _load_failed = False
 
+# must match svio_abi_version() in svio.cc; bump both together
+_EXPECTED_ABI = 2
 
-def ensure_built(quiet: bool = True) -> bool:
+
+def _abi_of(lib) -> int:
+    """Compiled ABI of a loaded library (1 = predates the version export)."""
+    try:
+        fn = lib.svio_abi_version
+    except AttributeError:
+        return 1
+    fn.restype = ctypes.c_int
+    fn.argtypes = []
+    return int(fn())
+
+
+def ensure_built(quiet: bool = True, force: bool = False) -> bool:
     """Build libsvio.so if missing or older than its sources."""
-    if os.path.exists(_LIB_PATH):
+    if os.path.exists(_LIB_PATH) and not force:
         lib_mtime = os.path.getmtime(_LIB_PATH)
         srcs = [os.path.join(_NATIVE_DIR, f)
                 for f in ("svio.cc", "inflate.cc")]
@@ -29,8 +43,8 @@ def ensure_built(quiet: bool = True) -> bool:
                for s in srcs if os.path.exists(s)):
             return True
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR],
-                       capture_output=quiet, check=True)
+        cmd = ["make", "-C", _NATIVE_DIR] + (["-B"] if force else [])
+        subprocess.run(cmd, capture_output=quiet, check=True)
     except Exception:
         return os.path.exists(_LIB_PATH)
     return os.path.exists(_LIB_PATH)
@@ -55,6 +69,19 @@ def _load():
     except OSError:
         _load_failed = True
         return None
+    # mtime checks can't catch a prebuilt/copied .so newer than the sources:
+    # bind only when the compiled ABI matches what this loader expects, and
+    # give a stale binary exactly one rebuild before refusing it
+    if _abi_of(lib) != _EXPECTED_ABI:
+        if ensure_built(quiet=True, force=True):
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                _load_failed = True
+                return None
+        if _abi_of(lib) != _EXPECTED_ABI:
+            _load_failed = True
+            return None
     lib.svio_fetch.restype = ctypes.c_void_p
     lib.svio_fetch.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),

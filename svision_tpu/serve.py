@@ -53,8 +53,14 @@ def build_engine(ns):
 
 
 # request args that would silently disagree with the warm engine's fixed
-# configuration — rejected instead of accepted-and-ignored
-_ENGINE_FLAGS = ("--exact", "--batch_size", "--mesh")
+# configuration — rejected instead of accepted-and-ignored — plus the
+# pipeline-mode flags that divert run_pipeline into shard/distributed/
+# profiling branches which bypass the warm engine (a --num_shards request
+# without --merge_shards would even "succeed" while returning a fragment
+# directory instead of a VCF)
+_ENGINE_FLAGS = ("--exact", "--batch_size", "--mesh",
+                 "--num_shards", "--shard_id", "--merge_shards",
+                 "--coordinator", "--profile")
 
 
 def handle_request(req: dict, ns, engine) -> dict:

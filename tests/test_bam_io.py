@@ -422,3 +422,18 @@ def test_fetch_batch_at_voffset_subsets(tmp_path):
         want_names = [full.qname(i) for i in idx]
         got_names = [got.qname(int(j)) for j in np.nonzero(sel)[0]]
         assert want_names == got_names
+
+def test_native_abi_version_checked():
+    """ADVICE r3: the loader must verify the compiled ABI, not just mtimes —
+    a prebuilt .so newer than the sources would otherwise bind silently."""
+    from svision_tpu.io import native_io
+    if not native_io.available():
+        import pytest
+        pytest.skip("native lib not built")
+    lib = native_io._load()
+    assert native_io._abi_of(lib) == native_io._EXPECTED_ABI
+    # a lib lacking the version export reads as ABI 1 (refused by _load)
+    class NoVersion:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+    assert native_io._abi_of(NoVersion()) == 1

@@ -119,3 +119,23 @@ def test_exotic_bytes_fall_back_to_string_path():
     read = ("ACGT" * 10) + "@" + ("ACGT" * 10)   # '@' outside the alphabet
     _, segs = hashplot_unmapped(ref, read, 10, 50)   # must not crash
     assert isinstance(segs, list)
+
+def test_large_k_forces_exact_string_path():
+    """ADVICE r3: base-33 packing overflows int64 at k >= 13 — distinct
+    k-mers could collide after wraparound. The fast seeder must refuse and
+    both passes must run the exact string path consistently."""
+    import random
+    import numpy as np
+    from svision_tpu.collect.hashplot import (HashAligner, _kmer_codes,
+                                              hashplot_unmapped)
+    assert _kmer_codes("ACGT" * 10, 12) is not None    # 33**12 < 2**62: fast
+    assert _kmer_codes("ACGT" * 10, 13) is None        # 33**13 wraps: exact
+    rng = random.Random(7)
+    ref = "".join(rng.choice("ACGT") for _ in range(260))
+    read = ref[40:200]
+    # k=13 end-to-end: string tables on both passes, no ndarray leakage
+    a = HashAligner(13, 50, 0, 2)
+    a.run(ref, ref)
+    assert not isinstance(a.hashvalues, np.ndarray)
+    _, segs = hashplot_unmapped(ref, read, 13, 50)
+    assert segs and all(s.length >= 20 for s in segs)

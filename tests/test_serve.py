@@ -140,6 +140,15 @@ def test_serve_protocol_survives_empty_callset_and_rejects_engine_flags(
         proc.stdin.flush()
         rep2 = json.loads(proc.stdout.readline())
         assert rep2["ok"] is False and "--exact" in rep2["error"]
+        # (b') ADVICE r3: pipeline-mode flags (sharding/coordinator/
+        # profiling) divert run_pipeline around the warm engine — rejected
+        # too, not accepted-and-half-honored
+        proc.stdin.write(json.dumps(
+            {"bam": serve_ws["bams"][0], "out": str(tmp_path / "f2"),
+             "sample": "S", "args": ["--num_shards", "2"]}) + "\n")
+        proc.stdin.flush()
+        rep2b = json.loads(proc.stdout.readline())
+        assert rep2b["ok"] is False and "--num_shards" in rep2b["error"]
         # server still healthy
         proc.stdin.write(json.dumps(
             {"bam": serve_ws["bams"][0], "out": str(tmp_path / "g"),
