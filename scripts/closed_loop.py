@@ -45,6 +45,15 @@ def main(argv=None):
     ap.add_argument("--device-loop", action="store_true",
                     help="train with fit_device (whole run = one jitted "
                          "program; no per-step dispatch)")
+    ap.add_argument("--noise", choices=["hifi", "ont"], default=None,
+                    help="realistic read noise (svision_tpu.noise) on BOTH "
+                         "the training and held-out genomes: donor "
+                         "SNPs/small indels, per-base sequencing errors, "
+                         "mapq variation")
+    ap.add_argument("--gt", action="store_true",
+                    help="plant het/hom genotypes on the held-out events "
+                         "(haplotype-aware read sets) and score GT "
+                         "concordance")
     ns = ap.parse_args(argv)
 
     import jax
@@ -64,11 +73,13 @@ def main(argv=None):
     # 1) training data from simulated genome A
     t0 = time.perf_counter()
     specs, labels, _ = build_dataset(n_per_type=ns.train_per_type,
-                                     seed=ns.train_seed, support=ns.support)
+                                     seed=ns.train_seed, support=ns.support,
+                                     profile=ns.noise)
     if ns.small_curriculum:
         s2, l2, _ = build_dataset(n_per_type=ns.train_per_type,
                                   seed=ns.train_seed + 1000,
-                                  support=ns.support, size_range=(50, 300))
+                                  support=ns.support, size_range=(50, 300),
+                                  profile=ns.noise)
         specs = np.concatenate([specs, s2])
         labels = np.concatenate([labels, l2])
     counts = {CLASS_NAMES[c]: int((labels == c).sum()) for c in range(5)}
@@ -81,10 +92,16 @@ def main(argv=None):
     params = alexnet.init_params(jax.random.PRNGKey(0))
     dtype = jnp.bfloat16 if ns.bf16 else jnp.float32
     trainer = fit_device if ns.device_loop else fit
+    extra = {}
+    if ns.device_loop and ns.noise:
+        # raster-noise augmentation (fragmented diagonals + pixel dropout)
+        # alongside noisy collection — fit_device only
+        extra["noise_aug"] = True
     params, history = trainer(params, specs, labels, epochs=ns.epochs,
                               batch_size=ns.batch_size, seed=1,
                               learning_rate=ns.lr, compute_dtype=dtype,
-                              log=lambda m: print("   " + m, flush=True))
+                              log=lambda m: print("   " + m, flush=True),
+                              **extra)
     train_acc = evaluate(params, specs, labels)
     weights = os.path.join(ns.out, "trained.npz")
     save_params({k: np.asarray(v) for k, v in params.items()}, weights)
@@ -107,8 +124,16 @@ def main(argv=None):
     genome = os.path.join(eval_dir, "ref.fa")
     bam = os.path.join(eval_dir, "sim.bam")
     seqs = make_genome(genome, {"chr1": chrom_len}, seed=ns.eval_seed)
+    genotypes = None
+    if ns.gt:
+        import random as _random
+        gt_rng = _random.Random(ns.eval_seed + 5)
+        # CSV records are genotyped ./. by design (genotype.py:55-62):
+        # plant genotypes on simple events only, hom on compounds
+        genotypes = [gt_rng.choice(["0/1", "1/1"]) if "+" not in k[0]
+                     else "1/1" for k in events]
     make_sv_bam(bam, seqs, seed=ns.eval_seed, support=ns.support,
-                events=events)
+                events=events, profile=ns.noise, genotypes=genotypes)
     cli_args = ["-o", os.path.join(eval_dir, "out"), "-b", bam, "-g", genome,
                 "-m", weights, "-n", "loop", "-s", "3",
                 "--batch_size", str(ns.batch_size)]
@@ -119,10 +144,13 @@ def main(argv=None):
     print(f"[3/4] called {vcf} ({time.perf_counter()-t0:.1f}s)", flush=True)
 
     # 4) score
-    score = score_vcf(vcf, events, tol=1500)
+    score = score_vcf(vcf, events, tol=1500, truth_gt=genotypes)
     report["eval"] = score
+    gt_msg = (f" GT={score['gt_concordance']} "
+              f"({score['gt_correct']}/{score['gt_eval']})"
+              if genotypes is not None else "")
     print(f"[4/4] eval: P={score['precision']} R={score['recall']} "
-          f"F1={score['f1']} per-type="
+          f"F1={score['f1']}{gt_msg} per-type="
           f"{ {k: v for k, v in score['per_type'].items()} }", flush=True)
     print(json.dumps(report))
     return report

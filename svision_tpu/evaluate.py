@@ -21,7 +21,8 @@ _COMPATIBLE = {
 
 
 def parse_vcf_calls(vcf_path: str) -> List[Dict]:
-    """[{chrom, pos, end, types:set, qual, filter}] from a pipeline VCF."""
+    """[{chrom, pos, end, types:set, qual, filter, gt}] from a pipeline
+    VCF. gt is the sample GT field ("./." when absent)."""
     calls = []
     for line in open(vcf_path):
         if line.startswith("#") or not line.strip():
@@ -36,25 +37,36 @@ def parse_vcf_calls(vcf_path: str) -> List[Dict]:
         for part in info.get("BKPS", "").split(","):
             if ":" in part:
                 types.add(part.split(":", 1)[0])
+        gt = "./."
+        if len(f) > 9 and "GT" in f[8].split(":"):
+            gt = f[9].split(":")[f[8].split(":").index("GT")]
         calls.append(dict(chrom=f[0], pos=int(f[1]),
                           end=int(info.get("END", f[1])), types=types,
-                          qual=f[5], filter=f[6]))
+                          qual=f[5], filter=f[6], gt=gt))
     return calls
 
 
 def score_calls(calls: Sequence[Dict],
                 truth: Sequence[Tuple[str, str, int, int]],
-                tol: int = 1000):
+                tol: int = 1000,
+                truth_gt: Sequence[str] = None):
     """Greedy 1:1 matching of calls to truth events.
 
     Returns {per_type: {kind: {tp, fn, support...}}, precision, recall, f1,
     tp, fp, fn}. A call matches an event when it is within `tol` of the
-    anchor and carries a compatible type."""
+    anchor and carries a compatible type.
+
+    truth_gt: optional per-event genotype truth ("0/1"/"1/1") — adds
+    gt_concordance (fraction of MATCHED events whose call GT equals the
+    truth, unordered alleles) plus gt_eval/gt_correct counts. Only simple
+    (single-component) events are scored: the reference genotyper leaves
+    CSVs at ./. by design (genotype.py:55-62)."""
     calls = list(calls)
     used = [False] * len(calls)
     per_type: Dict[str, Dict[str, int]] = {}
     tp = 0
-    for kind, chrom, anchor, size in truth:
+    gt_eval = gt_correct = 0
+    for ti, (kind, chrom, anchor, size) in enumerate(truth):
         stats = per_type.setdefault(kind, {"tp": 0, "fn": 0})
         # compound events ("DEL+INS", "INV+DEL"): every component must be
         # carried by a nearby call — either one <CSV> record with multiple
@@ -85,6 +97,12 @@ def score_calls(calls: Sequence[Dict],
                 used[i] = True
             stats["tp"] += 1
             tp += 1
+            if truth_gt is not None and len(components) == 1:
+                want = truth_gt[ti]
+                got = calls[next(iter(event_calls))].get("gt", "./.")
+                gt_eval += 1
+                norm = lambda g: frozenset(g.replace("|", "/").split("/"))
+                gt_correct += norm(got) == norm(want)
         else:
             stats["fn"] += 1
     fp = sum(1 for u in used if not u)
@@ -98,10 +116,17 @@ def score_calls(calls: Sequence[Dict],
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = (2 * precision * recall / (precision + recall)
           if precision + recall else 0.0)
-    return dict(per_type=per_type, tp=tp, fp=fp, fn=fn, tp_calls=tp_calls,
-                n_calls=len(calls), precision=round(precision, 4),
-                recall=round(recall, 4), f1=round(f1, 4))
+    out = dict(per_type=per_type, tp=tp, fp=fp, fn=fn, tp_calls=tp_calls,
+               n_calls=len(calls), precision=round(precision, 4),
+               recall=round(recall, 4), f1=round(f1, 4))
+    if truth_gt is not None:
+        out["gt_eval"] = gt_eval
+        out["gt_correct"] = gt_correct
+        out["gt_concordance"] = (round(gt_correct / gt_eval, 4)
+                                 if gt_eval else 0.0)
+    return out
 
 
-def score_vcf(vcf_path: str, truth, tol: int = 1000):
-    return score_calls(parse_vcf_calls(vcf_path), truth, tol=tol)
+def score_vcf(vcf_path: str, truth, tol: int = 1000, truth_gt=None):
+    return score_calls(parse_vcf_calls(vcf_path), truth, tol=tol,
+                       truth_gt=truth_gt)

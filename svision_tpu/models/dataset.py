@@ -56,9 +56,11 @@ def simulate_events(n_per_type: int, seed: int = 0, spacing: int = 24000,
 
 
 def collect_candidates(events, chrom_len: int, workdir: str, seed: int = 0,
-                       support: int = 8, min_support: int = 3):
+                       support: int = 8, min_support: int = 3,
+                       profile=None):
     """Simulate genome+BAM for `events`, run the collection stage, return
-    (candidates, genome_path, bam_path)."""
+    (candidates, genome_path, bam_path). profile: a noise.NoiseProfile /
+    "hifi"/"ont" — train on reads with realistic error structure."""
     from svision_tpu.sim import make_genome, make_sv_bam
     from svision_tpu.cli import parse_arguments
     from svision_tpu.collect.window import run_detect
@@ -66,7 +68,8 @@ def collect_candidates(events, chrom_len: int, workdir: str, seed: int = 0,
     genome_path = os.path.join(workdir, "ref.fa")
     bam_path = os.path.join(workdir, "sim.bam")
     seqs = make_genome(genome_path, {"chr1": chrom_len}, seed=seed)
-    make_sv_bam(bam_path, seqs, seed=seed, support=support, events=events)
+    make_sv_bam(bam_path, seqs, seed=seed, support=support, events=events,
+                profile=profile)
     options = parse_arguments(
         ["-o", os.path.join(workdir, "out"), "-b", bam_path,
          "-g", genome_path, "-m", "unused.npz", "-n", "sim",
@@ -147,7 +150,8 @@ def balance_classes(specs: np.ndarray, labels: np.ndarray, seed: int = 0):
 def build_dataset(n_per_type: int = 40, seed: int = 0, support: int = 8,
                   min_support: int = 3, workdir: str = None,
                   tol: int = 5000, balance: bool = True,
-                  size_range: Tuple[int, int] = (120, 600)):
+                  size_range: Tuple[int, int] = (120, 600),
+                  profile=None):
     """Simulate + collect + label; returns (specs, labels, events)."""
     import contextlib
     events, chrom_len = simulate_events(n_per_type, seed=seed,
@@ -160,7 +164,8 @@ def build_dataset(n_per_type: int = 40, seed: int = 0, support: int = 8,
     with ctx as wd:
         cands, _, _ = collect_candidates(events, chrom_len, wd, seed=seed,
                                          support=support,
-                                         min_support=min_support)
+                                         min_support=min_support,
+                                         profile=profile)
         specs, labels = label_candidates(cands, events, tol=tol)
     if balance and len(labels):
         specs, labels = balance_classes(specs, labels, seed=seed)

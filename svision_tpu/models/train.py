@@ -211,6 +211,41 @@ def jitter_endpoints_jax(ep, key, max_shift: int = 10, max_jitter: int = 2):
     return jnp.clip(ep + shift4 + jit, 0, CANVAS - 1).astype(ep.dtype)
 
 
+def fragment_endpoints_jax(ep, vis, rev, key, split_prob: float = 0.3,
+                           gap_max: int = 3):
+    """Raster-noise augmentation: split segments into two colinear
+    sub-segments with a small pixel gap — the fragmented-diagonal look of
+    hashplot-realigned noisy sequence (run_hash_lineplot.py output on real
+    reads), which box-drawn rasters never show on clean simulations.
+
+    ep [N,S,4] -> [N,2S,4] (vis/rev widen to match); un-split segments keep
+    their original line with an invisible padding slot. The renderers
+    reduce over the segment axis, so the wider S is free."""
+    c0, r0, c1, r1 = (ep[..., i] for i in range(4))
+    dc = c1 - c0
+    dr = r1 - r0
+    major = jnp.maximum(jnp.abs(dc), jnp.abs(dr))
+    ksplit, kfrac, kgap = jax.random.split(key, 3)
+    f = jax.random.uniform(kfrac, major.shape, minval=0.35, maxval=0.65)
+    g = jax.random.randint(kgap, major.shape, 1, gap_max + 1)
+    gfrac = g / jnp.maximum(major, 1)
+    f1 = f - gfrac
+    f2 = f + gfrac
+    m1 = jnp.stack([c0 + jnp.round(dc * f1), r0 + jnp.round(dr * f1)],
+                   -1).astype(ep.dtype)
+    m2 = jnp.stack([c0 + jnp.round(dc * f2), r0 + jnp.round(dr * f2)],
+                   -1).astype(ep.dtype)
+    do = (jax.random.bernoulli(ksplit, split_prob, major.shape)
+          & (major >= 4 * gap_max) & vis)
+    sub1 = jnp.where(do[..., None],
+                     jnp.concatenate([ep[..., :2], m1], -1), ep)
+    sub2 = jnp.concatenate([m2, ep[..., 2:]], -1)
+    ep_out = jnp.concatenate([sub1, sub2], axis=1)
+    vis_out = jnp.concatenate([vis, do], axis=1)
+    rev_out = jnp.concatenate([rev, rev], axis=1)
+    return ep_out, vis_out, rev_out
+
+
 def fit(params: Params, specs, labels, *, epochs: int = 3,
         batch_size: int = 32, seed: int = 0, learning_rate: float = 1e-3,
         keep_prob: float = 0.5, compute_dtype=jnp.float32, augment: bool = True,
@@ -280,7 +315,9 @@ def fit_device(params: Params, specs, labels, *, epochs: int = 16,
                batch_size: int = 32, seed: int = 0,
                learning_rate: float = 5e-3, keep_prob: float = 0.5,
                compute_dtype=jnp.float32, augment: bool = True,
-               s2d: bool = True, log=None):
+               s2d: bool = True, noise_aug: bool = False,
+               pixel_drop: float = 0.02, split_prob: float = 0.3,
+               log=None):
     """Device-resident training: the WHOLE run is one jitted program.
 
     `fit()` dispatches one program per batch (host shuffle, host->device
@@ -331,12 +368,19 @@ def fit_device(params: Params, specs, labels, *, epochs: int = 16,
         def body(c, inp):
             params, opt_state = c
             idx, flip, key = inp
-            kaug, kstep = jax.random.split(key)
+            kaug, kfrag, kdrop, kstep = jax.random.split(key, 4)
             ep_b = ep_d[idx]
+            vis_b = vis_d[idx]
+            rev_b = rev_d[idx]
             if augment:
                 # translation + breakpoint jitter in endpoint space (see
                 # jitter_endpoints_np) — on-device, per step
                 ep_b = jitter_endpoints_jax(ep_b, kaug)
+            if noise_aug:
+                # raster-noise augmentation: fragmented diagonals (hashplot
+                # on noisy sequence) + dropped pixels (below, s2d path)
+                ep_b, vis_b, rev_b = fragment_endpoints_jax(
+                    ep_b, vis_b, rev_b, kfrag, split_prob=split_prob)
             if s2d:
                 # cv2.flip-equivalent augmentation as an endpoint mirror
                 # of the ref (column) axis
@@ -344,12 +388,15 @@ def fit_device(params: Params, specs, labels, *, epochs: int = 16,
                     rasterize.CANVAS - 1 - ep_b[..., 0::2])
                 ep_b = jnp.where(flip, flipped, ep_b)
                 images = rasterize.render_raster_s2d(
-                    ep_b, vis_d[idx], rev_d[idx],
+                    ep_b, vis_b, rev_b,
                     dtype=jnp.bfloat16 if compute_dtype == jnp.bfloat16
                     else jnp.float32)
+                if noise_aug and pixel_drop > 0:
+                    keep = jax.random.bernoulli(kdrop, 1.0 - pixel_drop,
+                                                images.shape)
+                    images = images * keep.astype(images.dtype)
             else:
-                images = rasterize.render_images(ep_b, vis_d[idx],
-                                                 rev_d[idx])
+                images = rasterize.render_images(ep_b, vis_b, rev_b)
                 # cv2.flip-equivalent augmentation: mirror the ref axis
                 images = jnp.where(flip, images[:, :, ::-1, :], images)
             params, opt_state, loss = train_step(params, opt_state, images,

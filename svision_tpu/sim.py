@@ -148,23 +148,70 @@ def invdel_read(qname: str, chrom: str, anchor: int, flank: int, il: int,
 def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 support: int = 8,
                 events: List[Tuple[str, str, int, int]] = None,
-                noise: bool = False, coverage: int = 6) -> List[Tuple]:
+                noise: bool = False, coverage: int = 6,
+                profile=None, genotypes: List[str] = None) -> List[Tuple]:
     """events: [(kind, chrom, anchor, size)]; returns the event list used.
 
     noise=True adds records every caller must FILTER (collect_signatures.py
     131-155 semantics): low-mapq SV reads, secondary alignments, unmapped
     records. coverage sets the background depth (5 kb reads every 2.5 kb,
     coverage/2 staggered copies; default 6x keeps the historical read set
-    byte-stable for seeded tests)."""
+    byte-stable for seeded tests).
+
+    profile: a svision_tpu.noise.NoiseProfile or "hifi"/"ont" — realistic
+    read noise: the sequenced (donor) genome differs from the reference
+    FASTA by SNPs and sub-min_sv_size indels, every read carries
+    per-instrument sequencing errors applied consistently across its
+    alignment records, and mapping quality varies (a small fraction below
+    the min_mapq filter).
+
+    genotypes: optional per-event GT list ("1/1"/"0/1") — haplotype-aware
+    read sets: a het event puts the SV on ~half the spanning reads and
+    clean REFERENCE-allele reads on the other half; hom events on all.
+    Background tiling reads then avoid event loci, so the genotyper's DR
+    count comes only from the planted reference reads. With genotypes=None
+    the historical read set is byte-identical (seeded golden tests)."""
+    from svision_tpu import noise as _noise
+    prof = _noise.get_profile(profile)
     rng = random.Random(seed)
     chrom = list(genome_seq)[0]
-    g = genome_seq[chrom]
     if events is None:
         events = [("DEL", chrom, 20000, 300),
                   ("INS", chrom, 60000, 220),
                   ("DEL", chrom, 100000, 500)]
+    if genotypes is not None and len(genotypes) != len(events):
+        raise ValueError("genotypes must be parallel to events")
+    if prof is not None:
+        import numpy as np
+        nprng = np.random.default_rng(seed)
+        variants = _noise.donor_variants(
+            {c: len(s) for c, s in genome_seq.items()}, seed, prof)
+        genome_seq = _noise.apply_donor_snps(genome_seq, variants)
+    g = genome_seq[chrom]
     records: List[SamRecord] = []
+
+    def finish_group(group: List[SamRecord], ch: str) -> None:
+        """Noise one read's alignment-record group (no-op without profile)."""
+        if prof is not None:
+            read_len = len(group[0].seq)        # builders emit primary first
+            edits = _noise.donor_edits_for_group(group, read_len,
+                                                 variants[ch][2])
+            edits += _noise.sequencing_edits(read_len, nprng, prof)
+            _noise.apply_group_edits(group, edits)
+            for rec in group:
+                rec.mapq = _noise.sample_mapq(nprng, prof)
+        records.extend(group)
+
     flank = 2000
+    # event loci background reads must not span in genotype mode (the
+    # genotyper would count them as reference support regardless of GT)
+    avoid_iv: Dict[str, List[Tuple[int, int]]] = {}
+    if genotypes is not None:
+        for (kind, ch, anchor, size) in events:
+            avoid_iv.setdefault(ch, []).append(
+                (anchor - 2 * flank - 200, anchor + size + 2 * flank + 200))
+        for ch in avoid_iv:
+            avoid_iv[ch].sort()
     for ei, (kind, ch, anchor, size) in enumerate(events):
         glen = len(genome_seq[ch])
         # per-kind read extents (incl. the ±12 bp anchor jitter): DUP reads
@@ -184,32 +231,47 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 f"event {kind}@{ch}:{anchor} size {size} does not fit in the "
                 f"{glen} bp genome (needs [{lo}, {hi}) with {flank} bp "
                 "flanks) — reads would carry truncated sequence")
-        for s in range(support):
+        gt = genotypes[ei] if genotypes is not None else None
+        n_alt = support if gt in (None, "1/1") else (support + 1) // 2
+        for s in range(n_alt):
             q = f"sv{ei}_{s}"
             jitter = rng.randint(-12, 12)
             a = anchor + jitter
             # del/ins/inv readers place the event one flank into the read, so
             # start them a flank early: every kind plants its SV at `anchor`
             if kind == "DEL":
-                records += del_read(q, ch, a - flank, flank, size,
-                                    genome_seq[ch])
+                group = del_read(q, ch, a - flank, flank, size,
+                                 genome_seq[ch])
             elif kind == "INS":
-                records += ins_read(q, ch, a - flank, flank, size,
-                                    genome_seq[ch], rng)
+                group = ins_read(q, ch, a - flank, flank, size,
+                                 genome_seq[ch], rng)
             elif kind == "INV":
-                records += inv_read(q, ch, a - flank, flank, size,
-                                    genome_seq[ch])
+                group = inv_read(q, ch, a - flank, flank, size,
+                                 genome_seq[ch])
             elif kind == "tDUP":
-                records += tdup_read(q, ch, a, flank, size, genome_seq[ch])
+                group = tdup_read(q, ch, a, flank, size, genome_seq[ch])
             elif kind == "DUP":
-                records += dup_read(q, ch, a, flank, size, genome_seq[ch])
+                group = dup_read(q, ch, a, flank, size, genome_seq[ch])
             elif kind == "DEL+INS":
-                records += delins_read(q, ch, a, flank, size,
-                                       max(60, size // 2), genome_seq[ch],
-                                       rng)
+                group = delins_read(q, ch, a, flank, size,
+                                    max(60, size // 2), genome_seq[ch],
+                                    rng)
             elif kind == "INV+DEL":
-                records += invdel_read(q, ch, a, flank, size,
-                                       max(60, size // 2), genome_seq[ch])
+                group = invdel_read(q, ch, a, flank, size,
+                                    max(60, size // 2), genome_seq[ch])
+            else:
+                raise ValueError(f"unknown event kind {kind!r}")
+            finish_group(group, ch)
+        if gt == "0/1":
+            # reference-allele haplotype: clean spanning reads (count as DR)
+            ln = 2 * flank + size
+            for s in range(support - n_alt):
+                a = anchor + rng.randint(-12, 12)
+                start0 = max(0, a - flank)
+                finish_group([SamRecord(f"ref{ei}_{s}", 0, ch, start0, 60,
+                                        f"{ln}M",
+                                        genome_seq[ch][start0:start0 + ln])],
+                             ch)
     if noise and events:
         kind, ch, anchor, size = events[0]
         g0 = genome_seq[ch]
@@ -226,17 +288,25 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
         records.append(SamRecord("unmapped0", 4, ch, anchor, 0, "*",
                                  g0[anchor:anchor + 300]))
     # background coverage: clean reads across every chrom
+    import bisect
     copies = max(1, coverage // 2)
     for chrom, g in genome_seq.items():
+        iv = avoid_iv.get(chrom, [])
+        starts = [x[0] for x in iv]
         # keep the historical bound for the default depth (seed-stable
         # tests); deeper settings shrink it so every staggered copy fits
         bound = (len(g) - 6000 if copies == 3
                  else len(g) - 5000 - 311 * copies)
         for i in range(0, bound, 2500):
             for k in range(copies):
-                records.append(SamRecord(
-                    f"bg_{chrom}_{i}_{k}", 0, chrom, i + k * 311, 60,
-                    "5000M", g[i + k * 311:i + k * 311 + 5000]))
+                s0 = i + k * 311
+                if iv:
+                    j = bisect.bisect_right(starts, s0 + 5000) - 1
+                    if j >= 0 and iv[j][1] > s0:
+                        continue                 # overlaps an event locus
+                finish_group([SamRecord(
+                    f"bg_{chrom}_{i}_{k}", 0, chrom, s0, 60,
+                    "5000M", g[s0:s0 + 5000])], chrom)
     from svision_tpu.io.bamwrite import write_bam
     write_bam(bam_path, [(c, len(s)) for c, s in genome_seq.items()], records)
     return events

@@ -1,0 +1,229 @@
+"""Realistic read-noise model (svision_tpu/noise.py) — round-4 VERDICT #1.
+
+Covers: the read-space editor's aligner invariant (every alignment record of
+a read implies the same query length), donor-variant consistency across
+reads and orientations, per-profile error rates, signature survival under
+HiFi/ONT noise, specificity on event-free noisy genomes, and haplotype-aware
+genotype truth (VERDICT #2)."""
+
+import itertools
+import os
+import random
+import re
+
+import numpy as np
+import pytest
+
+from svision_tpu import noise as N
+from svision_tpu import sim
+from svision_tpu.io.bamwrite import SamRecord
+
+
+def _group_ok(group):
+    """The aligner invariant + SEQ/CIGAR agreement for one read group."""
+    lens = set()
+    for g in group:
+        ops = N.parse_cigar(g.cigar)
+        assert N.query_len(ops, with_hard=False) == len(g.seq or "")
+        lens.add(N.query_len(ops))
+    assert len(lens) == 1, f"inconsistent read lengths {lens}"
+    return lens.pop()
+
+
+def test_editor_basic_ops():
+    rec = SamRecord("r", 0, "c", 100, 60, "20M", "ACGTACGTACGTACGTACGT")
+    N.apply_group_edits([rec], [(5, "sub", "T"), (10, "ins", "GG"),
+                                (15, "del", 2)])
+    assert rec.cigar == "10M2I5M2D3M"
+    assert rec.seq == "ACGTATGTACGGGTACGCGT"
+    assert rec.pos == 100                       # ref span preserved
+    ops = N.parse_cigar(rec.cigar)
+    assert sum(n for n, op in ops if op in "MD") == 20
+
+
+def test_editor_edge_deletions_trim_and_shift():
+    # deletion error on the FIRST aligned base -> leading D trimmed, POS++
+    rec = SamRecord("r", 0, "c", 100, 60, "10M", "ACGTACGTAC")
+    N.apply_group_edits([rec], [(0, "del", 1)])
+    assert rec.cigar == "9M" and rec.pos == 101
+    # ... and on the LAST -> trailing D trimmed
+    rec2 = SamRecord("r", 0, "c", 100, 60, "10M", "ACGTACGTAC")
+    N.apply_group_edits([rec2], [(9, "del", 1)])
+    assert rec2.cigar == "9M" and rec2.pos == 100
+
+
+def test_editor_clip_junction_insert_joins_clip():
+    """Insertion exactly at a clip junction extends the clip (never H-I-M)."""
+    grp = [SamRecord("r", 0, "c", 0, 60, "10M10S", "A" * 20),
+           SamRecord("r", 2048, "c", 50, 60, "10H10M", "A" * 10)]
+    N.apply_group_edits(grp, [(10, "ins", "CC")])
+    assert grp[0].cigar == "10M12S"
+    assert grp[1].cigar == "12H10M"
+    _group_ok(grp)
+
+
+def test_split_read_group_survives_heavy_noise():
+    rng = random.Random(1)
+    genome = "".join(rng.choice("ACGT") for _ in range(20000))
+    for builder, args in [
+            (sim.inv_read, ("q", "c", 5000, 2000, 300, genome)),
+            (sim.tdup_read, ("q", "c", 5000, 2000, 300, genome)),
+            (sim.dup_read, ("q", "c", 5000, 2000, 300, genome))]:
+        grp = builder(*args)
+        clean_len = _group_ok(grp)
+        nprng = np.random.default_rng(3)
+        edits = N.sequencing_edits(clean_len, nprng, N.ONT)
+        assert len(edits) > 50                  # ONT really is noisy
+        N.apply_group_edits(grp, edits)
+        _group_ok(grp)
+
+
+def test_donor_indels_map_through_both_orientations():
+    rng = random.Random(1)
+    genome = "".join(rng.choice("ACGT") for _ in range(20000))
+    # inverted ref segment is [7000, 7300); 7100 sits inside it
+    grp = sim.inv_read("q", "c", 5000, 2000, 300, genome)
+    L = _group_ok(grp)
+    ed = N.donor_edits_for_group(grp, L, [(7100, "ins", 4, "TTTT")])
+    N.apply_group_edits(grp, ed)
+    assert _group_ok(grp) == L + 4
+    sup = next(g for g in grp if g.flag & 16)
+    # stored orientation is genome-forward: the donor bases appear verbatim
+    # at ref offset 100, and the read carries their reverse complement
+    assert sup.cigar == "2000H100M4I200M2000H"
+    assert sup.seq[100:104] == "TTTT"
+    grp2 = sim.inv_read("q", "c", 5000, 2000, 300, genome)
+    ed2 = N.donor_edits_for_group(grp2, L, [(7100, "del", 6, "")])
+    N.apply_group_edits(grp2, ed2)
+    assert _group_ok(grp2) == L - 6
+    assert next(g for g in grp2 if g.flag & 16).cigar == \
+        "2000H100M6D194M2000H"
+    # forward-covered position: same donor insertion through the flank
+    grp3 = sim.inv_read("q", "c", 5000, 2000, 300, genome)
+    ed3 = N.donor_edits_for_group(grp3, L, [(5100, "ins", 4, "TTTT")])
+    N.apply_group_edits(grp3, ed3)
+    assert _group_ok(grp3) == L + 4
+    assert grp3[0].cigar.startswith("100M4I")
+
+
+def test_donor_snps_consistent_and_reference_untouched(tmp_path):
+    genome = str(tmp_path / "ref.fa")
+    seqs = sim.make_genome(genome, {"chr1": 60000}, seed=3)
+    ref_bytes = open(genome, "rb").read()
+    variants = N.donor_variants({"chr1": 60000}, 3, N.HIFI)
+    donor = N.apply_donor_snps(seqs, variants)
+    snp_pos, snp_base, _ = variants["chr1"]
+    assert snp_pos.size > 10
+    diff = [i for i in range(60000) if seqs["chr1"][i] != donor["chr1"][i]]
+    assert set(diff) <= set(snp_pos.tolist())   # SNPs only, nowhere else
+    assert open(genome, "rb").read() == ref_bytes
+
+
+def test_profile_error_rates_in_band(tmp_path):
+    genome = str(tmp_path / "ref.fa")
+    seqs = sim.make_genome(genome, {"chr1": 200000}, seed=5)
+    from svision_tpu.io.bam import BamReader
+    for prof, lo, hi in [("hifi", 0.004, 0.02), ("ont", 0.03, 0.07)]:
+        bam = str(tmp_path / f"{prof}.bam")
+        sim.make_sv_bam(bam, seqs, seed=6, events=[], profile=prof,
+                        coverage=12)
+        alns = list(itertools.islice(
+            BamReader(bam).fetch("chr1", 0, 200000), 200))
+        indel = aligned = 0
+        for a in alns:
+            ops = re.findall(r"(\d+)([MIDSH])", a.cigarstring)
+            indel += sum(int(x) for x, o in ops if o in "ID")
+            aligned += sum(int(x) for x, o in ops if o == "M")
+        rate = indel / aligned
+        assert lo < rate < hi, f"{prof}: indel-base rate {rate}"
+
+
+def _collect_regions(wd, genome, bam, chrom_len, min_support=3):
+    from svision_tpu.cli import parse_arguments
+    from svision_tpu.collect.window import run_detect
+    options = parse_arguments(
+        ["-o", os.path.join(str(wd), "out"), "-b", bam, "-g", genome,
+         "-m", "x.npz", "-n", "s", "-s", str(min_support)])
+    os.makedirs(options.out_path, exist_ok=True)
+    res = run_detect(options, bam, "chr1", 0, 0, chrom_len)
+    assert res.error is None, res.error
+    return res
+
+
+_EVENTS5 = [("DEL", "chr1", 40000, 300), ("INS", "chr1", 90000, 220),
+            ("INV", "chr1", 140000, 400), ("tDUP", "chr1", 190000, 250),
+            ("DUP", "chr1", 240000, 300)]
+
+
+@pytest.mark.parametrize("prof", ["hifi", "ont"])
+def test_noisy_collection_finds_all_events(tmp_path, prof):
+    genome = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "sim.bam")
+    seqs = sim.make_genome(genome, {"chr1": 300000}, seed=5)
+    sim.make_sv_bam(bam, seqs, seed=5, support=8, events=_EVENTS5,
+                    profile=prof)
+    res = _collect_regions(tmp_path, genome, bam, 300000)
+    regions = sorted({c.region for c in res.candidates})
+    assert len(regions) == 5
+    mids = sorted((int(float(r.split("+")[1])) + int(float(r.split("+")[2])))
+                  // 2 for r in regions)
+    for got, (_, _, anchor, size) in zip(mids, _EVENTS5):
+        assert abs(got - (anchor + size // 2)) < 1500
+
+
+@pytest.mark.parametrize("prof", ["hifi", "ont"])
+def test_noisy_event_free_genome_is_quiet(tmp_path, prof):
+    """Specificity: donor SNPs/indels + sequencing noise alone must produce
+    ZERO candidate regions (the min_sv_size / min_support gates working)."""
+    genome = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "q.bam")
+    seqs = sim.make_genome(genome, {"chr1": 300000}, seed=6)
+    sim.make_sv_bam(bam, seqs, seed=7, events=[], profile=prof, coverage=12)
+    res = _collect_regions(tmp_path, genome, bam, 300000)
+    assert not res.candidates
+
+
+def test_genotype_mode_concordance(tmp_path):
+    """Haplotype-aware read sets: the real genotyper must recover every
+    planted 0/1 and 1/1 (VERDICT r3 #2 — GT accuracy was never measured)."""
+    from svision_tpu.call.genotype import genotyper
+    from svision_tpu.io.bam import BamReader
+    genome = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "sim.bam")
+    seqs = sim.make_genome(genome, {"chr1": 300000}, seed=9)
+    events = [("DEL", "chr1", 40000, 300), ("INS", "chr1", 90000, 220),
+              ("DEL", "chr1", 140000, 400), ("INS", "chr1", 190000, 250),
+              ("INV", "chr1", 240000, 300)]
+    gts = ["1/1", "0/1", "0/1", "1/1", "0/1"]
+    sim.make_sv_bam(bam, seqs, seed=9, support=8, events=events,
+                    genotypes=gts, profile="hifi", coverage=12)
+    res = _collect_regions(tmp_path, genome, bam, 300000)
+    by_event = {}
+    for c in res.candidates:
+        _, cs, ce, _ = c.region.split("+")
+        mid = (float(cs) + float(ce)) / 2
+        ei = min(range(len(events)), key=lambda i: abs(events[i][2] - mid))
+        by_event.setdefault(ei, set()).add(c.qname)
+    bamr = BamReader(bam)
+    from svision_tpu.cli import parse_arguments
+    options = parse_arguments(["-o", str(tmp_path / "o"), "-b", bam,
+                               "-g", genome, "-m", "x", "-n", "s"])
+    for ei, ((kind, ch, anchor, size), want) in enumerate(zip(events, gts)):
+        gt, dr, dv = genotyper((ch, anchor, anchor + size, [kind]),
+                               sorted(by_event[ei]), bamr, options)
+        assert gt == want, f"{kind}@{anchor}: want {want} got {gt} " \
+                           f"(DR={dr} DV={dv})"
+
+
+def test_legacy_path_unchanged_without_profile(tmp_path):
+    """profile=None / genotypes=None must stay byte-identical (the seeded
+    golden corpus depends on it)."""
+    import hashlib
+    genome = str(tmp_path / "ref.fa")
+    seqs = sim.make_genome(genome, {"chr1": 150000}, seed=0)
+    b1 = str(tmp_path / "a.bam")
+    b2 = str(tmp_path / "b.bam")
+    sim.make_sv_bam(b1, seqs, seed=0)
+    sim.make_sv_bam(b2, seqs, seed=0)
+    assert hashlib.sha256(open(b1, "rb").read()).hexdigest() == \
+        hashlib.sha256(open(b2, "rb").read()).hexdigest()

@@ -143,3 +143,42 @@ def test_fit_device_s2d_equals_image_path():
     a, b = histories
     assert np.isfinite(a).all() and np.isfinite(b).all()
     assert np.allclose(a, b, rtol=0.15), (a, b)
+
+
+def test_fragment_endpoints_preserves_line_and_gap():
+    """Split sub-segments stay on the parent line with a visible gap, and
+    unsplit rows pass through with an invisible padding slot."""
+    import jax
+    import jax.numpy as jnp
+    from svision_tpu.models.train import fragment_endpoints_jax
+    ep = jnp.array([[[10, 10, 210, 210],       # long diagonal: splittable
+                     [5, 100, 9, 104]]],       # major=4 < 12: never split
+                   jnp.int32)
+    vis = jnp.ones((1, 2), bool)
+    rev = jnp.zeros((1, 2), bool)
+    ep2, vis2, rev2 = fragment_endpoints_jax(ep, vis, rev,
+                                             jax.random.PRNGKey(0),
+                                             split_prob=1.0)
+    assert ep2.shape == (1, 4, 4) and vis2.shape == (1, 4)
+    assert bool(vis2[0, 0]) and bool(vis2[0, 1])
+    assert not bool(vis2[0, 3])                # short segment: no split
+    assert bool(vis2[0, 2])                    # long segment: split
+    c0, r0, c1, r1 = (int(x) for x in ep2[0, 0])
+    c2, r2, c3, r3 = (int(x) for x in ep2[0, 2])
+    assert (c0, r0) == (10, 10) and (c3, r3) == (210, 210)
+    assert c2 - c1 >= 2                        # the gap
+    for c, r in [(c1, r1), (c2, r2)]:          # midpoints on the diagonal
+        assert abs((r - 10) - (c - 10)) <= 1
+
+
+def test_fit_device_noise_aug_runs():
+    """fit_device with the raster-noise augmentation (fragmentation +
+    pixel dropout) compiles and trains."""
+    from svision_tpu.models.train import fit_device
+    specs, labels = _labeled_specs(16, seed=2)
+    params = alexnet.init_params(jax.random.PRNGKey(0))
+    params, history = fit_device(params, specs, labels, epochs=2,
+                                 batch_size=8, seed=1, learning_rate=0.01,
+                                 keep_prob=1.0, augment=True,
+                                 noise_aug=True)
+    assert len(history) == 2 and np.isfinite(history).all()
