@@ -21,11 +21,20 @@ Per-request "args" may NOT change engine-fixed settings (--exact,
     {"cmd": "shutdown"}
 
 Reply: {"ok": true, "vcf": ..., "records": N, "wall_s": T} or
-{"ok": false, "error": "..."}. Requests are processed sequentially (the
-chip is a serial resource); put a queue in front for fan-in.
+{"ok": false, "error": "..."}; a request's "id" field (any JSON value) is
+echoed back in its reply. Requests are processed sequentially (the chip is
+a serial resource).
+
+Concurrent clients: `--socket PATH` serves the same line protocol over a
+Unix domain socket. Each connection gets a reader thread; one worker
+serializes pipeline execution through a FIFO queue, so requests run in
+arrival order and each connection's replies come back in ITS request
+order. A malformed line errors only its own connection; "shutdown" (from
+any client) drains every request queued before it, replies to each, then
+exits — requests racing in after the shutdown see EOF.
 
 Start:  python -m svision_tpu.serve -g ref.fa -m model.npz
-        [--batch_size 128] [--mesh auto] [-t 2] [--exact]
+        [--batch_size 128] [--mesh auto] [-t 2] [--exact] [--socket PATH]
 """
 
 from __future__ import annotations
@@ -108,6 +117,114 @@ def handle_request(req: dict, ns, engine) -> dict:
             "wall_s": round(time.perf_counter() - t0, 2)}
 
 
+def _safe_handle(req: dict, ns, engine) -> dict:
+    """handle_request with the server's survival guarantees + id echo."""
+    try:
+        out = handle_request(req, ns, engine)
+    except SystemExit as exc:           # pipeline abort (bad BAM, ...)
+        out = {"ok": False, "error": f"pipeline exit {exc.code}"}
+    except Exception as exc:            # noqa: BLE001 — server must survive
+        out = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
+    if isinstance(req, dict) and "id" in req:
+        out["id"] = req["id"]
+    return out
+
+
+def serve_socket(ns, engine, sock_path: str) -> None:
+    """Unix-domain-socket front-end: N concurrent clients, one worker.
+
+    Reader thread per connection -> FIFO queue -> single worker (the chip
+    is a serial resource) -> per-connection reply with a write lock. FIFO
+    drain on shutdown gives every earlier-queued request its reply."""
+    import queue
+    import socket
+    import threading
+
+    q: "queue.Queue" = queue.Queue()
+    stop = threading.Event()
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    try:
+        os.unlink(sock_path)
+    except FileNotFoundError:
+        pass
+    srv.bind(sock_path)
+    os.chmod(sock_path, 0o600)
+    srv.listen(64)
+
+    def reply(conn, lock, obj):
+        data = (json.dumps(obj) + "\n").encode()
+        with lock:
+            try:
+                conn.sendall(data)
+            except OSError:
+                pass                     # client went away; drop the reply
+
+    def reader(conn):
+        lock = threading.Lock()
+        with conn, conn.makefile("r", encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                except json.JSONDecodeError as exc:
+                    reply(conn, lock,
+                          {"ok": False, "error": f"bad json: {exc}"})
+                    continue
+                q.put((req, conn, lock))
+                if isinstance(req, dict) and req.get("cmd") == "shutdown":
+                    break
+            # wait for the worker to finish this connection's queued
+            # requests before closing the socket (the `with` would cut
+            # replies off otherwise); bounded — after a shutdown the
+            # worker is gone and the marker is never serviced
+            done = threading.Event()
+            q.put((None, None, done))
+            done.wait(timeout=600)
+
+    def worker():
+        while True:
+            req, conn, lock = q.get()
+            if req is None:
+                lock.set()               # connection-drain marker
+                continue
+            if isinstance(req, dict) and req.get("cmd") == "shutdown":
+                reply(conn, lock, {"ok": True, "bye": True})
+                stop.set()
+                try:                     # unblock the accept loop
+                    poke = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                    poke.connect(sock_path)
+                    poke.close()
+                except OSError:
+                    pass
+                return
+            reply(conn, lock, _safe_handle(req, ns, engine))
+
+    wt = threading.Thread(target=worker, daemon=True)
+    wt.start()
+    print(json.dumps({"ready": True, "pid": os.getpid(),
+                      "socket": sock_path}), flush=True)
+    try:
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                break
+            if stop.is_set():
+                conn.close()
+                break
+            threading.Thread(target=reader, args=(conn,),
+                             daemon=True).start()
+    finally:
+        srv.close()
+        try:
+            os.unlink(sock_path)
+        except FileNotFoundError:
+            pass
+    wt.join(timeout=5)
+
+
 def main(argv=None):
     from svision_tpu.utils.platform import honor_jax_platforms_env
     honor_jax_platforms_env()
@@ -122,9 +239,15 @@ def main(argv=None):
     ap.add_argument("--mesh", default="auto")
     ap.add_argument("--exact", action="store_true",
                     help="f32 reference-faithful numerics (default bf16)")
+    ap.add_argument("--socket", default=None,
+                    help="serve the line protocol on a Unix domain socket "
+                         "(N concurrent clients) instead of stdin/stdout")
     ns = ap.parse_args(argv)
 
     engine = build_engine(ns)
+    if ns.socket:
+        serve_socket(ns, engine, ns.socket)
+        return
     print(json.dumps({"ready": True, "pid": os.getpid()}), flush=True)
 
     for line in sys.stdin:
@@ -140,13 +263,7 @@ def main(argv=None):
         if req.get("cmd") == "shutdown":
             print(json.dumps({"ok": True, "bye": True}), flush=True)
             return
-        try:
-            out = handle_request(req, ns, engine)
-        except SystemExit as exc:       # pipeline abort (bad BAM, ...)
-            out = {"ok": False, "error": f"pipeline exit {exc.code}"}
-        except Exception as exc:        # noqa: BLE001 — server must survive
-            out = {"ok": False, "error": f"{type(exc).__name__}: {exc}"}
-        print(json.dumps(out), flush=True)
+        print(json.dumps(_safe_handle(req, ns, engine)), flush=True)
 
 
 if __name__ == "__main__":

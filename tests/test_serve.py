@@ -161,3 +161,93 @@ def test_serve_protocol_survives_empty_callset_and_rejects_engine_flags(
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+@pytest.mark.slow
+def test_serve_socket_concurrent_clients(serve_ws, tmp_path):
+    """VERDICT r3 #6 — serving under concurrency: N clients against one
+    --socket server. Asserts per-connection reply ordering (id echo),
+    per-request VCF byte-identity with a standalone CLI run, a malformed
+    line erroring only its own connection, and a clean shutdown that
+    drains requests already in flight."""
+    import socket
+    import threading
+    from svision_tpu.cli import parse_arguments, run_pipeline
+
+    sock_path = str(tmp_path / "svs.sock")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "svision_tpu.serve",
+         "-g", serve_ws["genome"], "-m", serve_ws["weights"],
+         "-s", "3", "--batch_size", "16", "--socket", sock_path],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd=os.getcwd())
+    try:
+        ready = json.loads(proc.stdout.readline())
+        assert ready.get("ready") and ready["socket"] == sock_path
+
+        def client(n_reqs, bam, outbase, results, tag):
+            conn = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            conn.connect(sock_path)
+            f = conn.makefile("r", encoding="utf-8")
+            for i in range(n_reqs):
+                req = {"bam": bam, "out": f"{outbase}_{i}",
+                       "sample": f"S{tag}", "id": f"{tag}:{i}"}
+                conn.sendall((json.dumps(req) + "\n").encode())
+            for _ in range(n_reqs):
+                results.append(json.loads(f.readline()))
+            conn.close()
+
+        threads, results = [], {}
+        for t, bam in enumerate(serve_ws["bams"] * 2):   # 4 clients
+            results[t] = []
+            th = threading.Thread(
+                target=client,
+                args=(2, bam, str(tmp_path / f"c{t}"), results[t], t))
+            th.start()
+            threads.append(th)
+        for th in threads:
+            th.join(timeout=600)
+            assert not th.is_alive()
+        for t in range(4):
+            assert [r.get("id") for r in results[t]] == \
+                [f"{t}:0", f"{t}:1"], results[t]      # FIFO per connection
+            assert all(r["ok"] for r in results[t]), results[t]
+
+        # byte-identity: client 0's first VCF vs a standalone CLI run
+        opts = parse_arguments(
+            ["-o", str(tmp_path / "solo"), "-b", serve_ws["bams"][0],
+             "-g", serve_ws["genome"], "-m", serve_ws["weights"],
+             "-n", "S0", "-s", "3", "--batch_size", "16"])
+        os.makedirs(opts.out_path, exist_ok=True)
+        solo = run_pipeline(opts)
+        body = lambda p: [ln for ln in open(p) if not ln.startswith("##")]
+        assert body(results[0][0]["vcf"]) == body(solo)
+
+        # malformed line on one connection errors THAT connection only
+        bad = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        bad.connect(sock_path)
+        bf = bad.makefile("r", encoding="utf-8")
+        bad.sendall(b"{nonsense\n")
+        assert json.loads(bf.readline())["ok"] is False
+        # ... and the same connection still works afterwards
+        bad.sendall((json.dumps({"cmd": "ping", "id": "p"}) + "\n").encode())
+        rep = json.loads(bf.readline())
+        assert rep["pong"] is True and rep["id"] == "p"
+
+        # shutdown with a request in flight: the request (queued first on
+        # the same connection) must still complete before the bye
+        req = {"bam": serve_ws["bams"][1], "out": str(tmp_path / "fin"),
+               "sample": "FIN", "id": "fin"}
+        bad.sendall((json.dumps(req) + "\n").encode())
+        bad.sendall(b'{"cmd": "shutdown"}\n')
+        fin = json.loads(bf.readline())
+        assert fin["ok"] is True and fin["id"] == "fin"
+        assert json.loads(bf.readline()).get("bye") is True
+        bad.close()
+        assert proc.wait(timeout=60) == 0
+        assert not os.path.exists(sock_path)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
