@@ -68,6 +68,12 @@ class _BaiIndex:
 
     def chunks_for(self, tid: int, start: int, stop: int
                    ) -> List[Tuple[int, int]]:
+        if tid >= len(self.bins_per_ref):
+            # a truncated/corrupt index with fewer references than the BAM
+            # header must not silently read as "no reads on this contig"
+            raise ValueError(
+                f"BAI index covers {len(self.bins_per_ref)} references; "
+                f"BAM asks for tid {tid} — corrupt or mismatched index")
         bins = self.bins_per_ref[tid]
         linear = self.linear_per_ref[tid]
         min_off = 0
@@ -106,6 +112,10 @@ class _CsiIndex:
 
     def chunks_for(self, tid: int, start: int, stop: int
                    ) -> List[Tuple[int, int]]:
+        if tid >= len(self.bins_per_ref):
+            raise ValueError(
+                f"CSI index covers {len(self.bins_per_ref)} references; "
+                f"BAM asks for tid {tid} — corrupt or mismatched index")
         bins = self.bins_per_ref[tid]
         loff = self.loff_per_ref[tid]
         # leaf bin containing `start`, then climb parents until one exists
@@ -500,6 +510,13 @@ def _read_bai(path: str) -> _BaiIndex:
         data = fh.read()
     if data[:4] != b"BAI\x01":
         raise ValueError(f"{path}: not a BAI index")
+    try:
+        return _parse_bai(data)
+    except struct.error as exc:    # truncated / corrupt counts
+        raise ValueError(f"{path}: corrupt BAI index: {exc}") from exc
+
+
+def _parse_bai(data: bytes) -> _BaiIndex:
     off = 4
     n_ref = struct.unpack_from("<i", data, off)[0]
     off += 4
@@ -545,6 +562,13 @@ def _read_csi(path: str) -> _CsiIndex:
     data = b"".join(parts)
     if data[:4] != b"CSI\x01":
         raise ValueError(f"{path}: not a CSI index")
+    try:
+        return _parse_csi(data)
+    except struct.error as exc:    # truncated / corrupt counts
+        raise ValueError(f"{path}: corrupt CSI index: {exc}") from exc
+
+
+def _parse_csi(data: bytes) -> _CsiIndex:
     min_shift, depth, l_aux = struct.unpack_from("<iii", data, 4)
     off = 16 + l_aux
     n_ref = struct.unpack_from("<i", data, off)[0]

@@ -50,11 +50,18 @@ def read_block(fh: BinaryIO) -> Tuple[bytes, int]:
     if bsize is None:
         raise ValueError("BGZF BC subfield missing")
     cdata_len = bsize - 12 - xlen - 8
+    if cdata_len < 0:
+        # a corrupt BSIZE smaller than its own header would turn the next
+        # read into read(-1) (the whole file) — typed error instead
+        raise ValueError("BGZF BSIZE smaller than block header")
     cdata = fh.read(cdata_len)
     crc_isize = fh.read(8)
     if len(cdata) < cdata_len or len(crc_isize) < 8:
         raise ValueError("truncated BGZF block (file cut short?)")
-    data = zlib.decompress(cdata, wbits=-15)
+    try:
+        data = zlib.decompress(cdata, wbits=-15)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt BGZF DEFLATE payload: {exc}") from exc
     crc, isize = struct.unpack("<II", crc_isize)
     if len(data) != isize:
         raise ValueError("BGZF ISIZE mismatch")

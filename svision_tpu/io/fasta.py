@@ -101,22 +101,41 @@ class FastaFile:
     def references(self) -> List[str]:
         return list(self._order)
 
+    def _entry(self, name: str) -> Tuple[int, int, int, int]:
+        try:
+            return self._index[name]
+        except KeyError:
+            raise ValueError(
+                f"{self.path}: reference {name!r} not in .fai index") \
+                from None
+
     def get_reference_length(self, name: str) -> int:
-        return self._index[name][0]
+        return self._entry(name)[0]
 
     def fetch(self, name: str, start: int = 0, end: int = None) -> str:
-        length, offset, linebases, linewidth = self._index[name]
+        length, offset, linebases, linewidth = self._entry(name)
         if end is None:
             end = length
         start = max(0, int(start))
         end = min(int(end), length)
         if end <= start:
             return ""
+        if linebases <= 0 or linewidth <= 0:
+            raise ValueError(f"{self.path}: corrupt .fai line geometry")
         byte_start = offset + (start // linebases) * linewidth + start % linebases
         byte_end = offset + ((end - 1) // linebases) * linewidth \
             + (end - 1) % linebases + 1
         raw = self._bytes.read(byte_start, byte_end)
-        return raw.replace(b"\n", b"").replace(b"\r", b"").decode("ascii")
+        seq = raw.replace(b"\n", b"").replace(b"\r", b"").decode("ascii")
+        if len(seq) != end - start:
+            # short mmap read past EOF or an offset table pointing into the
+            # wrong place: a truncated/corrupt reference must not silently
+            # return a wrong-length sequence
+            raise ValueError(
+                f"{self.path}: fetched {len(seq)} bases for "
+                f"{name}:{start}-{end} (want {end - start}) — truncated or "
+                "corrupt FASTA/.fai")
+        return seq
 
     def close(self):
         self._bytes.close()
