@@ -72,9 +72,15 @@ def main(argv=None):
 
     # 1) training data from simulated genome A
     t0 = time.perf_counter()
+    # compound curriculum under --csv: INV+DEL events teach the decoder the
+    # "read gap + larger ref gap" mm-pair geometry (labeled DEL) that noisy
+    # eval otherwise confuses with INS — see models/dataset.py
+    train_kinds = ("DEL", "INS", "INV", "DUP", "tDUP")
+    if ns.csv:
+        train_kinds = train_kinds + ("INV+DEL",)
     specs, labels, _ = build_dataset(n_per_type=ns.train_per_type,
                                      seed=ns.train_seed, support=ns.support,
-                                     profile=ns.noise)
+                                     profile=ns.noise, kinds=train_kinds)
     if ns.small_curriculum:
         s2, l2, _ = build_dataset(n_per_type=ns.train_per_type,
                                   seed=ns.train_seed + 1000,
@@ -139,6 +145,9 @@ def main(argv=None):
                 "--batch_size", str(ns.batch_size)]
     if ns.csv:
         cli_args.append("--graph")
+    if ns.gt:
+        cli_args.append("--tdup_gt")       # het tDUPs are unmeasurable
+                                           # under the reference rule
     options = parse_arguments(cli_args)
     vcf = run_pipeline(options)
     print(f"[3/4] called {vcf} ({time.perf_counter()-t0:.1f}s)", flush=True)

@@ -25,7 +25,7 @@ KINDS = ["DEL", "INS", "INV", "tDUP", "DUP"]
 
 
 def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
-                 fast_genome=False):
+                 fast_genome=False, noise=None):
     from svision_tpu.sim import make_genome, make_sv_bam
     size = int(mb * 1e6)
     chroms = {f"chr{i+1}": size for i in range(n_chroms)}
@@ -35,7 +35,7 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
     eventsf = os.path.join(workdir, "events.json")
     params = dict(n_chroms=n_chroms, mb=mb, coverage=coverage,
                   events_per_chrom=events_per_chrom, seed=seed,
-                  fast_genome=bool(fast_genome))
+                  fast_genome=bool(fast_genome), noise=noise)
     paramsf = os.path.join(workdir, "fixture_params.json")
     if os.path.exists(fasta) and os.path.exists(bam) and os.path.exists(eventsf):
         # fixture cache hit (--keep reruns at WGS scale skip the multi-minute
@@ -61,7 +61,7 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
             events.append((KINDS[k % len(KINDS)], c, anchor,
                            rng.randint(100, 900)))
     make_sv_bam(bam, genome, seed=seed + 1, support=8, events=events,
-                coverage=coverage)
+                coverage=coverage, profile=noise)
     with open(eventsf, "w") as fh:
         json.dump(events, fh)
     with open(paramsf, "w") as fh:
@@ -83,6 +83,10 @@ def main():
                     "a tmpdir, removed on exit); reused as a fixture cache")
     ap.add_argument("--fast-genome", action="store_true",
                     help="numpy-based base generation (WGS-scale fixtures)")
+    ap.add_argument("--noise", choices=["hifi", "ont"], default=None,
+                    help="realistic read noise (svision_tpu.noise): donor "
+                         "SNPs/small indels + per-instrument sequencing "
+                         "errors + mapq variation")
     ap.add_argument("--collect-only", action="store_true",
                     help="stop after the collection stage (host-side stress)")
     ap.add_argument("--cli-extra", default="",
@@ -100,7 +104,7 @@ def main():
           f"{args.events_per_chrom} events/chrom -> {workdir}")
     genome, bam, events, t_sim = build_inputs(
         workdir, args.chroms, args.mb, args.coverage, args.events_per_chrom,
-        fast_genome=args.fast_genome)
+        fast_genome=args.fast_genome, noise=args.noise)
     bam_mb = os.path.getsize(bam) / 1e6
     print(f"[sim] done in {t_sim:.1f}s ({bam_mb:.1f} MB BAM)")
 
@@ -173,14 +177,20 @@ def main():
     from svision_tpu.evaluate import score_vcf
     res = score_vcf(vcf, events, tol=1500)
 
+    import resource
+    rss_self = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    rss_kids = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
     report = {
         "chroms": args.chroms, "mb_per_chrom": args.mb,
-        "coverage": args.coverage, "bam_mb": round(bam_mb, 1),
+        "coverage": args.coverage, "noise": args.noise,
+        "bam_mb": round(bam_mb, 1),
         "n_reads": n_reads, "planted_events": len(events),
         "wall_s": round(wall, 1),
         "reads_per_s": round(n_reads / wall, 1),
         "stage_s": {k: round(v, 2) for k, v in m.timers.items()},
         "counters": {k: int(v) for k, v in m.counters.items()},
+        "peak_rss_gb": round(rss_self / 1e6, 2),
+        "peak_rss_child_gb": round(rss_kids / 1e6, 2),
         "locus_recall": res["recall"], "locus_precision": res["precision"],
         "vcf": vcf,
     }

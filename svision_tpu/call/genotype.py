@@ -35,6 +35,15 @@ def genotyper(candidate, support_reads: Sequence[str], bam, options
         aln_no += 1
 
         if len(svtype) == 1:
+            # Reference quirk kept by default: "tDUP" matches NEITHER rule
+            # below (genotype.py:45-54 tests only DEL/INV and INS/DUP), so
+            # a tDUP call never accrues reference support — DR stays 0,
+            # VAF is always 1.0, and every het tandem duplication is
+            # genotyped 1/1. --tdup_gt opts into the fix (tDUP uses the
+            # INS/DUP full-span rule, which is what a tandem duplication's
+            # reference allele actually looks like).
+            ins_like = ("INS", "DUP", "tDUP") \
+                if getattr(options, "tdup_gt", False) else ("INS", "DUP")
             if svtype[0] in ("DEL", "INV"):
                 minimum_overlap = min((end - start) / 2, 2000)
                 if (aln.reference_start < (end - minimum_overlap)
@@ -42,7 +51,7 @@ def genotyper(candidate, support_reads: Sequence[str], bam, options
                    (aln.reference_start < (start - 100)
                         and aln.reference_end > (start + minimum_overlap)):
                     support_ref.add(aln.query_name)
-            if svtype[0] in ("INS", "DUP"):
+            if svtype[0] in ins_like:
                 if aln.reference_start < (start - 100) and \
                         aln.reference_end > (end + 100):
                     support_ref.add(aln.query_name)

@@ -133,6 +133,13 @@ def parse_arguments(arguments=None) -> Options:
     gt.add_argument("--min_gt_depth", type=int, default=4)
     gt.add_argument("--homo_thresh", type=float, default=0.8)
     gt.add_argument("--hete_thresh", type=float, default=0.2)
+    gt.add_argument("--tdup_gt", action="store_true", default=False,
+                    help="genotype tDUP calls with the INS/DUP "
+                         "reference-read rule. The reference's genotyper "
+                         "matches 'tDUP' against neither of its rules "
+                         "(genotype.py:45-54), so DR is always 0 and every "
+                         "het tandem duplication is called 1/1; default "
+                         "keeps that behavior for VCF parity")
 
     hsh = parser.add_argument_group("Hash table parameters")
     hsh.add_argument("--k_size", type=int, default=10)

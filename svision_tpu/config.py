@@ -48,6 +48,10 @@ class Options:
     min_gt_depth: int = 4
     homo_thresh: float = 0.8
     hete_thresh: float = 0.2
+    # opt-in fix for the reference's tDUP genotyping gap (genotype.py:45-54
+    # matches 'tDUP' against neither ref-read rule => het tDUPs come out
+    # 1/1); off by default for VCF parity
+    tdup_gt: bool = False
 
     # Hash realigner (reference: SVision:97-102)
     k_size: int = 10

@@ -66,7 +66,7 @@ def score_calls(calls: Sequence[Dict],
     per_type: Dict[str, Dict[str, int]] = {}
     tp = 0
     gt_eval = gt_correct = 0
-    for ti, (kind, chrom, anchor, size) in enumerate(truth):
+    for ti, (kind, chrom, anchor, size, *_aux) in enumerate(truth):
         stats = per_type.setdefault(kind, {"tp": 0, "fn": 0})
         # compound events ("DEL+INS", "INV+DEL"): every component must be
         # carried by a nearby call — either one <CSV> record with multiple

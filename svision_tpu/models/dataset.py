@@ -50,7 +50,26 @@ def simulate_events(n_per_type: int, seed: int = 0, spacing: int = 24000,
     events = []
     pos = start
     for kind in order:
-        events.append((kind, "chr1", pos, rng.randint(*size_range)))
+        size = rng.randint(*size_range)
+        if kind == "INV+DEL":
+            # independent deletion size, kept CLEAR of the reference's
+            # structural blind spot: an INV+DEL main-main pair has
+            # ref-gap/read-gap = (il+dl)/il, and linearOrNot
+            # (output_clusters.py:11-26) deletes pairs with ratio <= 1.5
+            # as colinear — deletions below ~il/2 next to an inversion are
+            # invisible to the reference DESIGN, and dl == il/2 exactly
+            # (the old coupled default) flip-flops on noise jitter.
+            # Round-4 forensics: docs/PERF.md.
+            dl = rng.randint(int(0.65 * size) + 20, size + 100)
+            events.append((kind, "chr1", pos, size, dl))
+        elif kind == "DEL+INS":
+            # ratio dl/il must stay out of [0.7, 1.5] (the same colinear
+            # band); the historical il/2 default sits at 0.5 — keep the
+            # deletion below 0.6*il, varied
+            dl = rng.randint(60, max(61, int(0.6 * size)))
+            events.append((kind, "chr1", pos, size, dl))
+        else:
+            events.append((kind, "chr1", pos, size))
         pos += spacing
     return events, pos + spacing
 
@@ -123,6 +142,21 @@ def label_candidates(candidates, events, tol: int = 5000):
             # is dropped by linearOrNot, so INV lives on reverse pairs
             if cand.pair_forward != "False":
                 continue
+        elif kind == "INV+DEL":
+            # compound curriculum: the mm pair carries BOTH a read gap
+            # (the inverted span) and a LARGER ref gap (inversion +
+            # deletion) — its image class is DEL (net reference loss; the
+            # decoder must call DEL here for the <CSV> combo to carry the
+            # DEL component); the reverse mo pairs are the INV carriers.
+            # Without these, noisy mm pairs fall between the clean INS
+            # (read gap only) and DEL (ref gap only) clusters — the
+            # round-4 noisy-loop INV+DEL recall regression.
+            if main_main:
+                kind = "DEL"
+            elif cand.pair_forward == "False":
+                kind = "INV"
+            else:
+                continue
         elif not main_main:
             continue
         specs.append(tuple(cand.spec))
@@ -151,11 +185,13 @@ def build_dataset(n_per_type: int = 40, seed: int = 0, support: int = 8,
                   min_support: int = 3, workdir: str = None,
                   tol: int = 5000, balance: bool = True,
                   size_range: Tuple[int, int] = (120, 600),
-                  profile=None):
+                  profile=None,
+                  kinds: Sequence[str] = ("DEL", "INS", "INV", "DUP",
+                                          "tDUP")):
     """Simulate + collect + label; returns (specs, labels, events)."""
     import contextlib
     events, chrom_len = simulate_events(n_per_type, seed=seed,
-                                        size_range=size_range)
+                                        size_range=size_range, kinds=kinds)
     if workdir is None:
         ctx = tempfile.TemporaryDirectory()
     else:

@@ -399,13 +399,19 @@ def donor_edits_for_group(records: Sequence, L: int, indels: Sequence[Tuple]
                           ) -> List[Tuple]:
     """Read-space edits realizing donor small indels on one read group.
     Donor insertions insert before ref position p; donor deletions remove
-    the read bases aligned to ref [p, p+k)."""
+    the read bases aligned to ref [p, p+k). `indels` must be sorted by
+    position (donor_variants emits them sorted) — the group's overlap
+    window is found by bisection, so WGS-scale tables (10^4-10^5 indels)
+    cost O(log n) per read, not a full scan."""
+    import bisect
     edits: List[Tuple] = []
     lo = min(r.pos for r in records if not (r.flag & 4))
     hi = max(r.end_pos() for r in records if not (r.flag & 4))
-    for p, kind, k, seq in indels:
-        if not (lo - 1 <= p < hi + 1):
-            continue
+    i0 = bisect.bisect_left(indels, lo - 1, key=lambda v: v[0])
+    for idx in range(i0, len(indels)):
+        p, kind, k, seq = indels[idx]
+        if p >= hi + 1:
+            break
         if kind == "ins":
             hit = ref_to_read(records, L, p)
             if hit is None:

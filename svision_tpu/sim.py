@@ -207,25 +207,38 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
     # genotyper would count them as reference support regardless of GT)
     avoid_iv: Dict[str, List[Tuple[int, int]]] = {}
     if genotypes is not None:
-        for (kind, ch, anchor, size) in events:
+        for ev in events:
+            kind, ch, anchor, size = ev[0], ev[1], ev[2], ev[3]
+            span = size + (ev[4] if len(ev) > 4 else max(60, size // 2)) \
+                if "+" in kind else size
             avoid_iv.setdefault(ch, []).append(
-                (anchor - 2 * flank - 200, anchor + size + 2 * flank + 200))
+                (anchor - 2 * flank - 200, anchor + span + 2 * flank + 200))
         for ch in avoid_iv:
             avoid_iv[ch].sort()
-    for ei, (kind, ch, anchor, size) in enumerate(events):
+    for ei, ev in enumerate(events):
+        kind, ch, anchor, size = ev[0], ev[1], ev[2], ev[3]
+        # optional 5th element: the second component's size for compound
+        # events (INV+DEL's deletion / DEL+INS's deletion). The legacy
+        # default dl = size//2 puts an INV+DEL's main-main pair EXACTLY on
+        # the reference's linearOrNot 1.5 colinearity cutoff
+        # (output_clusters.py:11-26): ratio (il+dl)/il == 1.5, so
+        # noise-level jitter randomly deletes the pair before imaging.
+        # Independent sizes avoid concentrating every simulated event on
+        # that boundary (round-4 forensics, docs/PERF.md).
+        aux = ev[4] if len(ev) > 4 else max(60, size // 2)
         glen = len(genome_seq[ch])
         # per-kind read extents (incl. the ±12 bp anchor jitter): DUP reads
-        # a source locus size+300 bp upstream, INV+DEL's tail resumes
-        # dl=max(60,size//2) bp past the inverted segment — a generic
-        # 2*flank margin silently yielded SEQ/CIGAR-inconsistent records
-        # for large events of those kinds (review finding)
+        # a source locus size+300 bp upstream, INV+DEL's tail resumes `aux`
+        # bp past the inverted segment — a generic 2*flank margin silently
+        # yielded SEQ/CIGAR-inconsistent records for large events of those
+        # kinds (review finding)
         jmax = 12
         lo = anchor - 2 * flank - jmax
         hi = anchor + size + 2 * flank + jmax
         if kind == "DUP":
             lo = min(lo, anchor - jmax - (size + 300))
         elif kind == "INV+DEL":
-            hi = max(hi, anchor + jmax + size + max(60, size // 2) + flank)
+            hi = max(hi, anchor + jmax + size + aux + flank)
         if lo < 0 or hi > glen:
             raise ValueError(
                 f"event {kind}@{ch}:{anchor} size {size} does not fit in the "
@@ -253,18 +266,17 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
             elif kind == "DUP":
                 group = dup_read(q, ch, a, flank, size, genome_seq[ch])
             elif kind == "DEL+INS":
-                group = delins_read(q, ch, a, flank, size,
-                                    max(60, size // 2), genome_seq[ch],
-                                    rng)
+                group = delins_read(q, ch, a, flank, size, aux,
+                                    genome_seq[ch], rng)
             elif kind == "INV+DEL":
-                group = invdel_read(q, ch, a, flank, size,
-                                    max(60, size // 2), genome_seq[ch])
+                group = invdel_read(q, ch, a, flank, size, aux,
+                                    genome_seq[ch])
             else:
                 raise ValueError(f"unknown event kind {kind!r}")
             finish_group(group, ch)
         if gt == "0/1":
             # reference-allele haplotype: clean spanning reads (count as DR)
-            ln = 2 * flank + size
+            ln = 2 * flank + (size + aux if "+" in kind else size)
             for s in range(support - n_alt):
                 a = anchor + rng.randint(-12, 12)
                 start0 = max(0, a - flank)
@@ -273,7 +285,8 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                                         genome_seq[ch][start0:start0 + ln])],
                              ch)
     if noise and events:
-        kind, ch, anchor, size = events[0]
+        kind, ch, anchor, size = events[0][0], events[0][1], \
+            events[0][2], events[0][3]
         g0 = genome_seq[ch]
         # low-mapq split reads at the first event locus (mapq < default 10)
         for s in range(3):

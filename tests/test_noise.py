@@ -227,3 +227,41 @@ def test_legacy_path_unchanged_without_profile(tmp_path):
     sim.make_sv_bam(b2, seqs, seed=0)
     assert hashlib.sha256(open(b1, "rb").read()).hexdigest() == \
         hashlib.sha256(open(b2, "rb").read()).hexdigest()
+
+
+def test_tdup_genotype_reference_quirk_and_fix(tmp_path):
+    """The reference genotyper matches 'tDUP' against neither ref-read rule
+    (genotype.py:45-54): DR stays 0 and het tDUPs are called 1/1. Default
+    keeps that for parity; --tdup_gt opts into the INS/DUP-rule fix."""
+    from svision_tpu.call.genotype import genotyper
+    from svision_tpu.io.bam import BamReader
+    from svision_tpu.cli import parse_arguments
+    genome = str(tmp_path / "ref.fa")
+    bam = str(tmp_path / "sim.bam")
+    seqs = sim.make_genome(genome, {"chr1": 120000}, seed=11)
+    events = [("tDUP", "chr1", 50000, 260)]
+    sim.make_sv_bam(bam, seqs, seed=11, support=8, events=events,
+                    genotypes=["0/1"], coverage=12)
+    bamr = BamReader(bam)
+    sup = [f"sv0_{s}" for s in range(4)]
+    base = ["-o", str(tmp_path / "o"), "-b", bam, "-g", genome,
+            "-m", "x", "-n", "s"]
+    opt_ref = parse_arguments(base)
+    gt, dr, dv = genotyper(("chr1", 50000, 50260, ["tDUP"]), sup, bamr,
+                           opt_ref)
+    assert (gt, dr, dv) == ("1/1", 0, 4)       # the pinned reference quirk
+    opt_fix = parse_arguments(base + ["--tdup_gt"])
+    gt2, dr2, dv2 = genotyper(("chr1", 50000, 50260, ["tDUP"]), sup, bamr,
+                              opt_fix)
+    assert gt2 == "0/1" and dr2 == 4 and dv2 == 4
+
+
+def test_compound_curriculum_labels():
+    """INV+DEL training events label mm pairs DEL and reverse pairs INV."""
+    from svision_tpu.models.dataset import build_dataset, CLASS_IDS
+    specs, labels, events = build_dataset(
+        n_per_type=4, seed=21, kinds=("INV+DEL",), balance=False)
+    assert len(labels) > 0
+    assert set(labels.tolist()) <= {CLASS_IDS["DEL"], CLASS_IDS["INV"]}
+    assert (labels == CLASS_IDS["DEL"]).sum() > 0
+    assert (labels == CLASS_IDS["INV"]).sum() > 0
