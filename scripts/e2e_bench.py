@@ -21,7 +21,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-KINDS = ["DEL", "INS", "INV", "tDUP", "DUP"]
+KINDS = ["DEL", "INS", "INV", "tDUP", "DUP", "DEL+INS", "INV+DEL"]
 
 
 def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
@@ -58,8 +58,18 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
         spacing = (size - 100_000) // events_per_chrom
         for k in range(events_per_chrom):
             anchor = 60_000 + k * spacing + rng.randint(0, spacing // 4)
-            events.append((KINDS[k % len(KINDS)], c, anchor,
-                           rng.randint(100, 900)))
+            kind = KINDS[k % len(KINDS)]
+            sz = rng.randint(100, 900)
+            if kind == "INV+DEL":
+                # independent deletion size clear of the linearOrNot 1.5
+                # colinearity band (models/dataset.py:simulate_events)
+                events.append((kind, c, anchor, sz,
+                               rng.randint(int(0.65 * sz) + 20, sz + 100)))
+            elif kind == "DEL+INS":
+                events.append((kind, c, anchor, sz,
+                               rng.randint(60, max(61, int(0.6 * sz)))))
+            else:
+                events.append((kind, c, anchor, sz))
     make_sv_bam(bam, genome, seed=seed + 1, support=8, events=events,
                 coverage=coverage, profile=noise)
     with open(eventsf, "w") as fh:
