@@ -50,6 +50,11 @@ def main(argv=None):
                          "the training and held-out genomes: donor "
                          "SNPs/small indels, per-base sequencing errors, "
                          "mapq variation")
+    ap.add_argument("--noise-scope", choices=["both", "eval"],
+                    default="both",
+                    help="'eval' trains on CLEAN reads but evaluates on "
+                         "noisy ones — the robustness ablation (how much "
+                         "does noisy training buy?)")
     ap.add_argument("--gt", action="store_true",
                     help="plant het/hom genotypes on the held-out events "
                          "(haplotype-aware read sets) and score GT "
@@ -78,14 +83,15 @@ def main(argv=None):
     train_kinds = ("DEL", "INS", "INV", "DUP", "tDUP")
     if ns.csv:
         train_kinds = train_kinds + ("INV+DEL",)
+    train_noise = None if ns.noise_scope == "eval" else ns.noise
     specs, labels, _ = build_dataset(n_per_type=ns.train_per_type,
                                      seed=ns.train_seed, support=ns.support,
-                                     profile=ns.noise, kinds=train_kinds)
+                                     profile=train_noise, kinds=train_kinds)
     if ns.small_curriculum:
         s2, l2, _ = build_dataset(n_per_type=ns.train_per_type,
                                   seed=ns.train_seed + 1000,
                                   support=ns.support, size_range=(50, 300),
-                                  profile=ns.noise)
+                                  profile=train_noise)
         specs = np.concatenate([specs, s2])
         labels = np.concatenate([labels, l2])
     counts = {CLASS_NAMES[c]: int((labels == c).sum()) for c in range(5)}
@@ -99,9 +105,10 @@ def main(argv=None):
     dtype = jnp.bfloat16 if ns.bf16 else jnp.float32
     trainer = fit_device if ns.device_loop else fit
     extra = {}
-    if ns.device_loop and ns.noise:
+    if ns.device_loop and train_noise:
         # raster-noise augmentation (fragmented diagonals + pixel dropout)
-        # alongside noisy collection — fit_device only
+        # alongside noisy collection — fit_device only (and deliberately
+        # off in the --noise-scope eval ablation's clean-train arm)
         extra["noise_aug"] = True
     params, history = trainer(params, specs, labels, epochs=ns.epochs,
                               batch_size=ns.batch_size, seed=1,

@@ -221,6 +221,17 @@ def _collect_worker(args):
     return run_detect(options, bam_path, chrom, part, start, end)
 
 
+def _aggregate_worker(args):
+    """Pool worker for the host half of prediction (region aggregation +
+    genotyping + VCF-fragment write); opens its own BamReader."""
+    candidates, preds, softs, out_prefix, bam_path, options = args
+    from svision_tpu.infer.engine import aggregate_chromosome
+    with BamReader(bam_path) as worker_bam:
+        aggregate_chromosome(candidates, preds, softs, out_prefix,
+                             worker_bam, options)
+    return out_prefix
+
+
 def finalize_vcf(merged_vcf_path: str, work_dir: str, options: Options) -> str:
     """Post-merge steps shared by every merge site (single-process,
     --merge_shards, --coordinator host 0): the --graph annotation step
@@ -450,7 +461,9 @@ def run_pipeline(options: Options, engine=None) -> str:
     # candidates run device inference. Per-chromosome ordering (and thus the
     # VCF) is identical to the sequential schedule.
     results: List[WindowResult] = []
+    agg_futures: List = []
     pool = None
+    agg_pool = None
     try:
         if options.thread_num > 1:
             # spawn, not fork: the parent has initialized JAX (multithreaded)
@@ -459,6 +472,11 @@ def run_pipeline(options: Options, engine=None) -> str:
             # without the device runtime (utils/hostpool.py).
             from svision_tpu.utils.hostpool import host_only_pool
             pool = host_only_pool(options.thread_num)
+            # aggregation gets its OWN worker: in the shared FIFO pool the
+            # host half of chromosome k's prediction queues BEHIND all of
+            # chromosome k+1's collection windows, serializing what should
+            # overlap (the OS timeshares the extra process fine)
+            agg_pool = host_only_pool(min(2, options.thread_num))
         with profile_ctx:
             chrom_order = list(tasks)
             inflight: List = []   # [(chrom, items)] in chrom_order
@@ -489,15 +507,43 @@ def run_pipeline(options: Options, engine=None) -> str:
                     with metrics.timer("compile_wait"):
                         warmup_thread.join()
                     warmup_thread = None
-                with metrics.timer("predict"):
-                    out_prefix = os.path.join(
-                        predict_results_dir,
-                        f"{chrom}.predict.s{options.min_support}")
-                    predict_chromosome(cands, engine, out_prefix, bam, options)
+                out_prefix = os.path.join(
+                    predict_results_dir,
+                    f"{chrom}.predict.s{options.min_support}")
+                if pool is not None:
+                    # device half here; host half (aggregation + genotyping
+                    # + fragment write) in the pool, overlapping the next
+                    # chromosome's collection/inference — per-chrom output
+                    # files are identical to the inline schedule
+                    from svision_tpu.infer.engine import (
+                        aggregate_chromosome, candidates_to_specs)
+                    with metrics.timer("predict"):
+                        preds, softs = engine.predict_specs(
+                            candidates_to_specs(cands))
+                    try:
+                        agg_futures.append(agg_pool.submit(
+                            _aggregate_worker,
+                            (cands, preds, softs, out_prefix,
+                             options.bam_path, options)))
+                    except Exception as exc:   # broken pool -> degrade
+                        logging.warning("aggregate submit failed (%s); "
+                                        "running inline", exc)
+                        with metrics.timer("predict"):
+                            aggregate_chromosome(cands, preds, softs,
+                                                 out_prefix, bam, options)
+                else:
+                    with metrics.timer("predict"):
+                        predict_chromosome(cands, engine, out_prefix, bam,
+                                           options)
                 metrics.count("images", len(cands))
+            with metrics.timer("predict"):
+                for fut in agg_futures:
+                    fut.result()
     finally:
         if pool is not None:
             pool.shutdown()
+        if agg_pool is not None:
+            agg_pool.shutdown()
 
     failures = [r for r in results if r.error]
     for r in failures:

@@ -360,7 +360,16 @@ def predict_chromosome(candidates: List[Candidate], engine: InferenceEngine,
     {out_prefix}.score.txt."""
     specs = candidates_to_specs(candidates)
     preds, softs = engine.predict_specs(specs)
+    aggregate_chromosome(candidates, preds, softs, out_prefix, bam, options)
 
+
+def aggregate_chromosome(candidates: List[Candidate], preds, softs,
+                         out_prefix: str, bam, options) -> None:
+    """Host half of predict_chromosome: region aggregation + genotyping +
+    VCF-fragment write from already-computed CNN outputs. Split out so the
+    CLI can run it in the worker pool while the next chromosome's batch is
+    on the device (the genotyper's per-call BAM fetches dominate the
+    predict stage at WGS scale — round-4 profile, docs/PERF.md)."""
     with open(out_prefix + ".vcf", "w") as vcf_out, \
             open(out_prefix + ".score.txt", "w") as score_out:
 
