@@ -25,7 +25,7 @@ KINDS = ["DEL", "INS", "INV", "tDUP", "DUP", "DEL+INS", "INV+DEL"]
 
 
 def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
-                 fast_genome=False, noise=None):
+                 fast_genome=False, noise=None, gt=False, stream=False):
     from svision_tpu.sim import make_genome, make_sv_bam
     size = int(mb * 1e6)
     chroms = {f"chr{i+1}": size for i in range(n_chroms)}
@@ -33,9 +33,11 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
     fasta = os.path.join(workdir, "ref.fa")
     bam = os.path.join(workdir, "sample.bam")
     eventsf = os.path.join(workdir, "events.json")
+    gtf = os.path.join(workdir, "genotypes.json")
     params = dict(n_chroms=n_chroms, mb=mb, coverage=coverage,
                   events_per_chrom=events_per_chrom, seed=seed,
-                  fast_genome=bool(fast_genome), noise=noise)
+                  fast_genome=bool(fast_genome), noise=noise, gt=bool(gt),
+                  stream=bool(stream))
     paramsf = os.path.join(workdir, "fixture_params.json")
     if os.path.exists(fasta) and os.path.exists(bam) and os.path.exists(eventsf):
         # fixture cache hit (--keep reruns at WGS scale skip the multi-minute
@@ -48,7 +50,11 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
         if cached == params:
             with open(eventsf) as fh:
                 events = [tuple(e) for e in json.load(fh)]
-            return fasta, bam, events, 0.0
+            genotypes = None
+            if gt:
+                with open(gtf) as fh:
+                    genotypes = json.load(fh)
+            return fasta, bam, events, genotypes, 0.0
         print(f"[sim] kept fixtures in {workdir} were built with "
               f"{cached or 'unknown params'}; rebuilding for {params}")
     genome = make_genome(fasta, chroms, seed=seed, fast=fast_genome)
@@ -70,13 +76,22 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
                                rng.randint(60, max(61, int(0.6 * sz)))))
             else:
                 events.append((kind, c, anchor, sz))
+    # haplotype-aware genotypes: alternate het/hom so every event kind is
+    # scored in both zygosities (sim.make_sv_bam plants het events on half
+    # the spanning reads with clean reference-allele reads on the other half)
+    genotypes = (["0/1" if i % 2 == 0 else "1/1"
+                  for i in range(len(events))] if gt else None)
     make_sv_bam(bam, genome, seed=seed + 1, support=8, events=events,
-                coverage=coverage, profile=noise)
+                coverage=coverage, profile=noise, genotypes=genotypes,
+                stream=stream)
     with open(eventsf, "w") as fh:
         json.dump(events, fh)
+    if gt:
+        with open(gtf, "w") as fh:
+            json.dump(genotypes, fh)
     with open(paramsf, "w") as fh:
         json.dump(params, fh)
-    return fasta, bam, events, time.time() - t0
+    return fasta, bam, events, genotypes, time.time() - t0
 
 
 def main():
@@ -93,10 +108,19 @@ def main():
                     "a tmpdir, removed on exit); reused as a fixture cache")
     ap.add_argument("--fast-genome", action="store_true",
                     help="numpy-based base generation (WGS-scale fixtures)")
+    ap.add_argument("--stream", action="store_true",
+                    help="per-chromosome streaming fixture generation "
+                         "(whole-genome scale: memory bounded by the "
+                         "largest chromosome's reads, not the genome's)")
     ap.add_argument("--noise", choices=["hifi", "ont"], default=None,
                     help="realistic read noise (svision_tpu.noise): donor "
                          "SNPs/small indels + per-instrument sequencing "
                          "errors + mapq variation")
+    ap.add_argument("--gt", action="store_true",
+                    help="plant het/hom genotypes (alternating 0/1 and 1/1) "
+                         "and score GT concordance on matched simple events; "
+                         "pair with --cli-extra=--tdup_gt for the het-tDUP "
+                         "genotyper fix (docs/PERF.md round 4)")
     ap.add_argument("--collect-only", action="store_true",
                     help="stop after the collection stage (host-side stress)")
     ap.add_argument("--cli-extra", default="",
@@ -112,9 +136,10 @@ def main():
 
     print(f"[sim] {args.chroms} x {args.mb} Mb @ {args.coverage}x, "
           f"{args.events_per_chrom} events/chrom -> {workdir}")
-    genome, bam, events, t_sim = build_inputs(
+    genome, bam, events, genotypes, t_sim = build_inputs(
         workdir, args.chroms, args.mb, args.coverage, args.events_per_chrom,
-        fast_genome=args.fast_genome, noise=args.noise)
+        fast_genome=args.fast_genome, noise=args.noise, gt=args.gt,
+        stream=args.stream)
     bam_mb = os.path.getsize(bam) / 1e6
     print(f"[sim] done in {t_sim:.1f}s ({bam_mb:.1f} MB BAM)")
 
@@ -185,7 +210,7 @@ def main():
     br.close()
 
     from svision_tpu.evaluate import score_vcf
-    res = score_vcf(vcf, events, tol=1500)
+    res = score_vcf(vcf, events, tol=1500, truth_gt=genotypes)
 
     import resource
     rss_self = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
@@ -204,6 +229,10 @@ def main():
         "locus_recall": res["recall"], "locus_precision": res["precision"],
         "vcf": vcf,
     }
+    if genotypes is not None:
+        report["gt_concordance"] = res["gt_concordance"]
+        report["gt_eval"] = res["gt_eval"]
+        report["gt_correct"] = res["gt_correct"]
     print(json.dumps(report, indent=2))
 
 

@@ -35,12 +35,16 @@ def main():
     ap.add_argument("--passonly", action="store_true")
     ap.add_argument("--typeignore", action="store_true")
     ap.add_argument("--gt", action="store_true", help="GT concordance on TPs")
+    ap.add_argument("--chunksize", type=int, default=1000,
+                    help="max reference distance to group calls for "
+                         "matching (truvari chunking)")
     a = ap.parse_args()
     print(json.dumps(bench(
         a.base, a.comp, refdist=a.refdist, pctsize=a.pctsize,
         pctovl=a.pctovl, pctseq=a.pctseq, sizemin=a.sizemin,
         sizefilt=a.sizefilt, sizemax=a.sizemax, passonly=a.passonly,
-        typeignore=a.typeignore, gt_compare=a.gt), indent=2))
+        typeignore=a.typeignore, gt_compare=a.gt,
+        chunksize=a.chunksize), indent=2))
 
 
 if __name__ == "__main__":

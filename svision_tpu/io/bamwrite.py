@@ -125,21 +125,27 @@ def _encode_record(rec: SamRecord, tid: int) -> bytes:
 
 
 def write_bam(path: str, references: Sequence[Tuple[str, int]],
-              records: List[SamRecord], sort: bool = True,
+              records, sort: bool = True,
               write_index: bool = True, index_format: str = "bai",
               min_shift: int = 14, depth: int = 5) -> None:
     """index_format 'bai' writes path.bai (fixed 14/5 binning); 'csi' writes
     path.csi with (min_shift, depth) binning — the index samtools produces
-    with `samtools index -c`, required for contigs >= 512 Mb."""
+    with `samtools index -c`, required for contigs >= 512 Mb.
+
+    With sort=False `records` may be any iterable already in coordinate
+    order; it is consumed lazily, so WGS-scale fixture generators
+    (sim.make_sv_bam(stream=True)) never hold the full read set in memory."""
     if index_format not in ("bai", "csi"):
         raise ValueError(f"unknown index_format {index_format!r}")
     if index_format == "bai" and (min_shift, depth) != (14, 5):
         raise ValueError("BAI binning is fixed at min_shift=14, depth=5")
     refs = list(references)
     tid_of: Dict[str, int] = {name: i for i, (name, _) in enumerate(refs)}
-    recs = list(records)
     if sort:
-        recs.sort(key=lambda r: (tid_of.get(r.ref_name, 1 << 30), r.pos))
+        recs = sorted(records,
+                      key=lambda r: (tid_of.get(r.ref_name, 1 << 30), r.pos))
+    else:
+        recs = records
 
     header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
         f"@SQ\tSN:{name}\tLN:{length}\n" for name, length in refs)

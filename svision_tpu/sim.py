@@ -149,7 +149,8 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 support: int = 8,
                 events: List[Tuple[str, str, int, int]] = None,
                 noise: bool = False, coverage: int = 6,
-                profile=None, genotypes: List[str] = None) -> List[Tuple]:
+                profile=None, genotypes: List[str] = None,
+                stream: bool = False) -> List[Tuple]:
     """events: [(kind, chrom, anchor, size)]; returns the event list used.
 
     noise=True adds records every caller must FILTER (collect_signatures.py
@@ -170,7 +171,15 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
     clean REFERENCE-allele reads on the other half; hom events on all.
     Background tiling reads then avoid event loci, so the genotyper's DR
     count comes only from the planted reference reads. With genotypes=None
-    the historical read set is byte-identical (seeded golden tests)."""
+    the historical read set is byte-identical (seeded golden tests).
+
+    stream=True generates and writes ONE CHROMOSOME AT A TIME (events, then
+    background, sorted in-chrom and fed to the lazy BAM writer) so
+    whole-genome-scale fixtures (3 Gb / tens of millions of reads) stay
+    bounded by the largest chromosome's read set instead of the genome's.
+    Record CONTENT is identical to stream=False; only the seeded RNG draw
+    ORDER differs (per-chrom instead of events-then-background), so seeded
+    golden tests must keep the default."""
     from svision_tpu import noise as _noise
     prof = _noise.get_profile(profile)
     rng = random.Random(seed)
@@ -187,10 +196,10 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
         variants = _noise.donor_variants(
             {c: len(s) for c, s in genome_seq.items()}, seed, prof)
         genome_seq = _noise.apply_donor_snps(genome_seq, variants)
-    g = genome_seq[chrom]
     records: List[SamRecord] = []
 
-    def finish_group(group: List[SamRecord], ch: str) -> None:
+    def finish_group(group: List[SamRecord], ch: str,
+                     sink: List[SamRecord]) -> None:
         """Noise one read's alignment-record group (no-op without profile)."""
         if prof is not None:
             read_len = len(group[0].seq)        # builders emit primary first
@@ -200,7 +209,7 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
             _noise.apply_group_edits(group, edits)
             for rec in group:
                 rec.mapq = _noise.sample_mapq(nprng, prof)
-        records.extend(group)
+        sink.extend(group)
 
     flank = 2000
     # event loci background reads must not span in genotype mode (the
@@ -215,7 +224,7 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 (anchor - 2 * flank - 200, anchor + span + 2 * flank + 200))
         for ch in avoid_iv:
             avoid_iv[ch].sort()
-    for ei, ev in enumerate(events):
+    def emit_event(ei, ev, sink):
         kind, ch, anchor, size = ev[0], ev[1], ev[2], ev[3]
         # optional 5th element: the second component's size for compound
         # events (INV+DEL's deletion / DEL+INS's deletion). The legacy
@@ -273,7 +282,7 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                                     genome_seq[ch])
             else:
                 raise ValueError(f"unknown event kind {kind!r}")
-            finish_group(group, ch)
+            finish_group(group, ch, sink)
         if gt == "0/1":
             # reference-allele haplotype: clean spanning reads (count as DR)
             ln = 2 * flank + (size + aux if "+" in kind else size)
@@ -283,8 +292,9 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 finish_group([SamRecord(f"ref{ei}_{s}", 0, ch, start0, 60,
                                         f"{ln}M",
                                         genome_seq[ch][start0:start0 + ln])],
-                             ch)
-    if noise and events:
+                             ch, sink)
+
+    def emit_noise_extras(sink):
         kind, ch, anchor, size = events[0][0], events[0][1], \
             events[0][2], events[0][3]
         g0 = genome_seq[ch]
@@ -293,17 +303,19 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
             for rec in del_read(f"lowmq_{s}", ch, anchor - flank, flank,
                                 size, g0):
                 rec.mapq = 5
-                records.append(rec)
+                sink.append(rec)
         # secondary alignment (flag 0x100) and unmapped record
         sec = del_read("secread", ch, anchor - flank, flank, size, g0)[0]
         sec.flag |= 0x100
-        records.append(sec)
-        records.append(SamRecord("unmapped0", 4, ch, anchor, 0, "*",
-                                 g0[anchor:anchor + 300]))
+        sink.append(sec)
+        sink.append(SamRecord("unmapped0", 4, ch, anchor, 0, "*",
+                              g0[anchor:anchor + 300]))
+
     # background coverage: clean reads across every chrom
     import bisect
     copies = max(1, coverage // 2)
-    for chrom, g in genome_seq.items():
+
+    def emit_background(chrom, g, sink):
         iv = avoid_iv.get(chrom, [])
         starts = [x[0] for x in iv]
         # keep the historical bound for the default depth (seed-stable
@@ -319,7 +331,37 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                         continue                 # overlaps an event locus
                 finish_group([SamRecord(
                     f"bg_{chrom}_{i}_{k}", 0, chrom, s0, 60,
-                    "5000M", g[s0:s0 + 5000])], chrom)
+                    "5000M", g[s0:s0 + 5000])], chrom, sink)
+
     from svision_tpu.io.bamwrite import write_bam
-    write_bam(bam_path, [(c, len(s)) for c, s in genome_seq.items()], records)
+    refs = [(c, len(s)) for c, s in genome_seq.items()]
+    if not stream:
+        # historical flow (events -> noise extras -> background) keeps the
+        # seeded RNG draw order, hence byte-identical fixtures
+        for ei, ev in enumerate(events):
+            emit_event(ei, ev, records)
+        if noise and events:
+            emit_noise_extras(records)
+        for c, g in genome_seq.items():
+            emit_background(c, g, records)
+        write_bam(bam_path, refs, records)
+        return events
+
+    def per_chrom():
+        by_chrom: Dict[str, List] = {}
+        for ei, ev in enumerate(events):
+            by_chrom.setdefault(ev[1], []).append((ei, ev))
+        for c, g in genome_seq.items():
+            sink: List[SamRecord] = []
+            for ei, ev in by_chrom.get(c, ()):
+                emit_event(ei, ev, sink)
+            if noise and events and c == events[0][1]:
+                emit_noise_extras(sink)
+            emit_background(c, g, sink)
+            # in-chrom position sort + reference chrom order == the global
+            # (tid, pos) coordinate sort of the non-streaming path
+            sink.sort(key=lambda r: r.pos)
+            yield from sink
+
+    write_bam(bam_path, refs, per_chrom(), sort=False)
     return events

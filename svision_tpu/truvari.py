@@ -162,21 +162,23 @@ def seq_ratio(a: str, b: str) -> float:
 
 
 def unroll_ratio(a: str, b: str, shift: int) -> float:
-    """Reference-context harmonization in the spirit of truvari>=4's
-    "unroll": two insertions placed `shift` bp apart inside a tandem
-    repeat carry rotated copies of the same sequence, so the comparison
-    rotates each side by the position delta and keeps the best of
-    direct/rolled. NOTE: taking the max over both rotation directions is
-    an UPPER BOUND on truvari's single direction-determined unroll — a
-    documented (mildly permissive) divergence, see docs/EVALUATION.md."""
-    best = seq_ratio(a, b)
-    if shift and len(a) and len(b):
-        ra = shift % len(a)
-        rb = shift % len(b)
-        best = max(best,
-                   seq_ratio(a[ra:] + a[:ra], b),
-                   seq_ratio(a, b[rb:] + b[:rb]))
-    return best
+    """truvari>=4 "unroll" harmonization: two insertions placed `shift` bp
+    apart inside a tandem repeat carry rotated copies of the same sequence
+    — the downstream copy is the upstream one rotated LEFT by the position
+    delta. `shift` is SIGNED (b.start - a.start): the upstream side is
+    rotated left by |shift| % len and compared once — a single
+    direction-determined rotation, exactly one comparison. (Round 3 took
+    the best of direct/roll-a/roll-b — an upper bound that was mildly more
+    permissive than truvari; retired in round 4. When the shift is a
+    multiple of the repeat unit the rotation is the identity, so
+    non-repeat pairs at identical positions are unaffected.)"""
+    if not shift or not len(a) or not len(b):
+        return seq_ratio(a, b)
+    if shift > 0:                   # a upstream of b
+        r = shift % len(a)
+        return seq_ratio(a[r:] + a[:r], b)
+    r = (-shift) % len(b)           # b upstream of a
+    return seq_ratio(a, b[r:] + b[:r])
 
 
 def _seq_similarity(a: Optional[str], b: Optional[str],
@@ -223,7 +225,7 @@ def match_score(base: SvEntry, comp: SvEntry, refdist: int, pctsize: float,
         terms.append(ovl)
     if pctseq > 0:
         sim = _seq_similarity(base.seq, comp.seq,
-                              shift=abs(base.start - comp.start))
+                              shift=comp.start - base.start)
         if sim is None:
             # truvari scores comparisons against sequence-unresolved entries
             # as non-matching under pctseq>0 (seqsim = 0); counting them as
@@ -238,11 +240,40 @@ def match_score(base: SvEntry, comp: SvEntry, refdist: int, pctsize: float,
     return sum(terms) / len(terms), dist
 
 
+def chunk_entries(base: List[SvEntry], comp: List[SvEntry],
+                  chunksize: int) -> List[Tuple[List[int], List[int]]]:
+    """truvari's chunking: base+comp entries are sorted together by
+    (chrom, start) and an entry opens a NEW chunk when it starts more than
+    `chunksize` bp past the furthest end seen in the current chunk.
+    Matching happens only within a chunk. Returns (base_idx, comp_idx)
+    lists per chunk (chunks with only one side present are skipped — their
+    entries score no pairs, exactly like truvari's unmatched chunks)."""
+    tagged = ([(e.chrom, e.start, e.end, 0, i) for i, e in enumerate(base)]
+              + [(e.chrom, e.start, e.end, 1, i) for i, e in enumerate(comp)])
+    tagged.sort(key=lambda t: (t[0], t[1], t[2], t[3], t[4]))
+    chunks: List[Tuple[List[int], List[int]]] = []
+    cur_b: List[int] = []
+    cur_c: List[int] = []
+    cur_chrom = None
+    cur_end = -1
+    for chrom, start, end, which, idx in tagged:
+        if chrom != cur_chrom or start > cur_end + chunksize:
+            if cur_b and cur_c:
+                chunks.append((cur_b, cur_c))
+            cur_b, cur_c = [], []
+            cur_chrom, cur_end = chrom, end
+        cur_end = max(cur_end, end)
+        (cur_b if which == 0 else cur_c).append(idx)
+    if cur_b and cur_c:
+        chunks.append((cur_b, cur_c))
+    return chunks
+
+
 def bench(base_vcf: str, comp_vcf: str, *, refdist: int = 500,
           pctsize: float = 0.7, pctovl: float = 0.0, pctseq: float = 0.0,
           sizemin: int = 50, sizefilt: int = 30, sizemax: int = 50_000,
           passonly: bool = False, typeignore: bool = False,
-          gt_compare: bool = False) -> Dict:
+          gt_compare: bool = False, chunksize: int = 1000) -> Dict:
     """truvari-bench-equivalent comparison of two VCFs; returns the summary
     dict (tp_base/tp_comp/fp/fn, precision/recall/f1, per-type breakdown,
     optional GT concordance over TPs)."""
@@ -254,16 +285,25 @@ def bench(base_vcf: str, comp_vcf: str, *, refdist: int = 500,
     base = [e for e in parse_sv_entries(base_vcf) if keep(e, sizemin)]
     comp = [e for e in parse_sv_entries(comp_vcf) if keep(e, sizefilt)]
 
-    # score all candidate pairs, then greedy one-to-one by best score
+    # candidate pairs per chunk (truvari's chunksize grouping — with the
+    # default refdist < chunksize no qualifying pair can span a chunk
+    # boundary, so this is also the O(n^2) -> O(sum chunk^2) scaling that
+    # makes whole-genome self-benchmarks tractable), then greedy one-to-one
+    # by best score across all chunks
     gate_stats: Dict[str, int] = {}
     pairs: List[Tuple[float, int, int, int]] = []
-    for bi, b in enumerate(base):
-        for ci, c in enumerate(comp):
-            sc = match_score(b, c, refdist, pctsize, pctovl, pctseq,
-                             typeignore, gate_stats)
-            if sc is not None:
-                pairs.append((sc[0], -sc[1], bi, ci))
-    pairs.sort(reverse=True)
+    for b_idx, c_idx in chunk_entries(base, comp, chunksize):
+        for bi in b_idx:
+            b = base[bi]
+            for ci in c_idx:
+                sc = match_score(b, comp[ci], refdist, pctsize, pctovl,
+                                 pctseq, typeignore, gate_stats)
+                if sc is not None:
+                    pairs.append((sc[0], -sc[1], bi, ci))
+    # deterministic ranking: score desc, distance asc, then entry order
+    # (truvari's exact tie order on equal (score, distance) pairs remains
+    # the one documented residual divergence, docs/EVALUATION.md)
+    pairs.sort(key=lambda p: (-p[0], -p[1], p[2], p[3]))
     base_hit = [False] * len(base)
     comp_hit = [False] * len(comp)
     gt_conc = 0
@@ -301,7 +341,7 @@ def bench(base_vcf: str, comp_vcf: str, *, refdist: int = 500,
                params=dict(refdist=refdist, pctsize=pctsize, pctovl=pctovl,
                            pctseq=pctseq, sizemin=sizemin, sizefilt=sizefilt,
                            sizemax=sizemax, passonly=passonly,
-                           typeignore=typeignore))
+                           typeignore=typeignore, chunksize=chunksize))
     if pctseq > 0:
         out["seq_unresolved_pairs"] = gate_stats.get("seq_unresolved_pairs", 0)
     if gt_compare:

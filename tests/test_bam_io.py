@@ -437,3 +437,33 @@ def test_native_abi_version_checked():
         def __getattr__(self, name):
             raise AttributeError(name)
     assert native_io._abi_of(NoVersion()) == 1
+
+
+def test_streamed_fixture_matches_inmemory(tmp_path):
+    """sim.make_sv_bam(stream=True) — the WGS-scale per-chromosome
+    generator — must write a BAM byte-identical to the in-memory path for
+    clean chrom-ordered fixtures (same RNG draw order by construction),
+    and produce a sorted, index-consistent file under a noise profile
+    (draw order differs there by design; see the sim.py docstring)."""
+    from svision_tpu.sim import make_genome, make_sv_bam
+    chroms = {"chr1": 120_000, "chr2": 100_000}
+    genome = make_genome(str(tmp_path / "ref.fa"), chroms, seed=3)
+    events = [("DEL", "chr1", 30_000, 200), ("INS", "chr1", 70_000, 150),
+              ("INV", "chr2", 40_000, 300)]
+    a, b = str(tmp_path / "a.bam"), str(tmp_path / "b.bam")
+    make_sv_bam(a, genome, seed=9, events=events, coverage=6)
+    make_sv_bam(b, genome, seed=9, events=events, coverage=6, stream=True)
+    assert open(a, "rb").read() == open(b, "rb").read()
+    assert open(a + ".bai", "rb").read() == open(b + ".bai", "rb").read()
+
+    c = str(tmp_path / "c.bam")
+    make_sv_bam(c, genome, seed=9, events=events, coverage=6, stream=True,
+                profile="hifi", genotypes=["0/1", "1/1", "0/1"])
+    br = BamReader(c)
+    for contig in chroms:
+        last = -1
+        for rec in br.fetch_raw(contig):
+            assert rec.pos >= last          # coordinate-sorted
+            last = rec.pos
+    assert sum(m for _, m, _ in br.get_index_statistics()) > 100
+    br.close()

@@ -175,3 +175,77 @@ def test_greedy_assignment_prefers_higher_score(tmp_path):
     comp = _vcf(tmp_path, "c.vcf", [_row("chr1", 10_010, "DEL", 400)])
     r = bench(base, comp)
     assert r["tp_base"] == 1 and r["fn"] == 1
+
+
+# ---------------------------------------------------------------------------
+# 4. round-4 divergence closures: chunking + single-direction unroll
+# ---------------------------------------------------------------------------
+
+def test_chunk_entries_grouping():
+    from svision_tpu.truvari import chunk_entries
+    mk = lambda chrom, s, e: SvEntry(chrom, s, e, "DEL", e - s, "PASS")
+    base = [mk("chr1", 1000, 1400), mk("chr1", 9000, 9300),
+            mk("chr2", 1000, 1400)]
+    comp = [mk("chr1", 1100, 1500), mk("chr1", 9100, 9350),
+            mk("chr2", 1050, 1420)]
+    chunks = chunk_entries(base, comp, 1000)
+    # three separate neighborhoods: (chr1 ~1k), (chr1 ~9k), (chr2 ~1k)
+    assert len(chunks) == 3
+    assert chunks[0] == ([0], [0])
+    assert chunks[1] == ([1], [1])
+    assert chunks[2] == ([2], [2])
+    # with a huge chunksize the per-chrom neighborhoods merge but
+    # chromosomes never do
+    chunks = chunk_entries(base, comp, 10_000_000)
+    assert len(chunks) == 2
+    assert chunks[0] == ([0, 1], [0, 1]) and chunks[1] == ([2], [2])
+    # span extension: a long entry's END keeps the chunk open past a gap
+    # that starts would not bridge
+    base2 = [mk("chr1", 1000, 8000)]
+    comp2 = [mk("chr1", 8500, 8900)]
+    assert chunk_entries(base2, comp2, 1000) == [([0], [0])]
+
+
+def test_chunksize_gates_distant_pairs(tmp_path):
+    """A pair refdist would accept is still unmatched when chunking splits
+    it first (truvari semantics: matching happens per chunk). With the
+    default refdist=500 < chunksize=1000 no qualifying pair can ever span
+    a boundary, so this only shows with refdist raised."""
+    base = _vcf(tmp_path, "b.vcf", [_row("chr1", 10_000, "DEL", 300)])
+    comp = _vcf(tmp_path, "c.vcf", [_row("chr1", 12_000, "DEL", 300)])
+    # start gap 2000 > chunksize: split -> no match even at refdist 5000
+    assert bench(base, comp, refdist=5000)["tp_base"] == 0
+    # chunksize raised past the gap: the refdist-qualifying pair matches
+    assert bench(base, comp, refdist=5000, chunksize=5000)["tp_base"] == 1
+
+
+def test_unroll_is_direction_determined():
+    """Round 4 retired the best-of-three unroll: the upstream side is
+    rotated left by the signed position delta, once."""
+    unit = "ACGGTTACGGCA"
+    seq = unit * 10
+    shifted = seq[5:] + seq[:5]
+    # a upstream (shift>0): leftrot(a) == b -> identity
+    assert unroll_ratio(seq, shifted, 5) == 1.0
+    # b upstream (shift<0): leftrot(b) compared against a
+    assert unroll_ratio(shifted, seq, -5) == 1.0
+    # identical NON-rotated sequences with a position delta are penalized
+    # (the rotation is applied, not max'd with the direct comparison):
+    rng = random.Random(3)
+    plain = "".join(rng.choice("ACGT") for _ in range(100))
+    assert unroll_ratio(plain, plain, 0) == 1.0
+    assert unroll_ratio(plain, plain, 50) < 0.95
+
+
+def test_identical_seq_at_offset_fails_pctseq_gate(tmp_path):
+    """truvari's unroll REPLACES the direct comparison: two identical
+    non-repeat insertions placed 50 bp apart compare rotated, so under
+    pctseq=0.95 the pair fails (the round-3 best-of behavior passed it)."""
+    rng = random.Random(5)
+    seq = "".join(rng.choice("ACGT") for _ in range(100))
+    base = _vcf(tmp_path, "b.vcf",
+                [_row("chr1", 10_000, "INS", 100, alt=seq)])
+    comp = _vcf(tmp_path, "c.vcf",
+                [_row("chr1", 10_050, "INS", 100, alt=seq)])
+    assert bench(base, comp, pctseq=0.95)["tp_base"] == 0
+    assert bench(base, comp, pctseq=0.0)["tp_base"] == 1
