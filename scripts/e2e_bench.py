@@ -23,21 +23,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 KINDS = ["DEL", "INS", "INV", "tDUP", "DUP", "DEL+INS", "INV+DEL"]
 
+# GRCh38-shaped chromosome lengths (Mb) — the whole-genome-scale fixture
+# (`--human`): 24 chromosomes, ~3.09 Gb total, the reference's operating
+# point (SVision runs 10 Mb windows over whole human genomes, SVision:76).
+HUMAN_MB = {
+    "chr1": 248.9, "chr2": 242.2, "chr3": 198.3, "chr4": 190.2,
+    "chr5": 181.5, "chr6": 170.8, "chr7": 159.3, "chr8": 145.1,
+    "chr9": 138.4, "chr10": 133.8, "chr11": 135.1, "chr12": 133.3,
+    "chr13": 114.4, "chr14": 107.0, "chr15": 101.9, "chr16": 90.3,
+    "chr17": 83.3, "chr18": 80.4, "chr19": 58.6, "chr20": 64.4,
+    "chr21": 46.7, "chr22": 50.8, "chrX": 156.0, "chrY": 57.2,
+}
+
 
 def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
-                 fast_genome=False, noise=None, gt=False, stream=False):
+                 fast_genome=False, noise=None, gt=False, stream=False,
+                 human=False, events_per_mb=8.0):
     from svision_tpu.sim import make_genome, make_sv_bam
-    size = int(mb * 1e6)
-    chroms = {f"chr{i+1}": size for i in range(n_chroms)}
+    if human:
+        chroms = {c: int(m * 1e6) for c, m in HUMAN_MB.items()}
+        events_map = {c: max(1, round(m * events_per_mb))
+                      for c, m in HUMAN_MB.items()}
+        params = dict(human=True, coverage=coverage,
+                      events_per_mb=events_per_mb, seed=seed,
+                      fast_genome=bool(fast_genome), noise=noise,
+                      gt=bool(gt), stream=bool(stream))
+    else:
+        size = int(mb * 1e6)
+        chroms = {f"chr{i+1}": size for i in range(n_chroms)}
+        events_map = {c: events_per_chrom for c in chroms}
+        params = dict(n_chroms=n_chroms, mb=mb, coverage=coverage,
+                      events_per_chrom=events_per_chrom, seed=seed,
+                      fast_genome=bool(fast_genome), noise=noise,
+                      gt=bool(gt), stream=bool(stream))
     t0 = time.time()
     fasta = os.path.join(workdir, "ref.fa")
     bam = os.path.join(workdir, "sample.bam")
     eventsf = os.path.join(workdir, "events.json")
     gtf = os.path.join(workdir, "genotypes.json")
-    params = dict(n_chroms=n_chroms, mb=mb, coverage=coverage,
-                  events_per_chrom=events_per_chrom, seed=seed,
-                  fast_genome=bool(fast_genome), noise=noise, gt=bool(gt),
-                  stream=bool(stream))
     paramsf = os.path.join(workdir, "fixture_params.json")
     if os.path.exists(fasta) and os.path.exists(bam) and os.path.exists(eventsf):
         # fixture cache hit (--keep reruns at WGS scale skip the multi-minute
@@ -60,9 +83,10 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
     genome = make_genome(fasta, chroms, seed=seed, fast=fast_genome)
     rng = random.Random(seed)
     events = []
-    for c in chroms:
-        spacing = (size - 100_000) // events_per_chrom
-        for k in range(events_per_chrom):
+    for c, size in chroms.items():
+        n_ev = events_map[c]
+        spacing = (size - 100_000) // n_ev
+        for k in range(n_ev):
             anchor = 60_000 + k * spacing + rng.randint(0, spacing // 4)
             kind = KINDS[k % len(KINDS)]
             sz = rng.randint(100, 900)
@@ -81,9 +105,11 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
     # the spanning reads with clean reference-allele reads on the other half)
     genotypes = (["0/1" if i % 2 == 0 else "1/1"
                   for i in range(len(events))] if gt else None)
+    # streamed (WGS-scale) fixtures trade disk for build time: BGZF level 1
+    # halves the deflate cost and the reader side is unaffected
     make_sv_bam(bam, genome, seed=seed + 1, support=8, events=events,
                 coverage=coverage, profile=noise, genotypes=genotypes,
-                stream=stream)
+                stream=stream, compress_level=1 if stream else 6)
     with open(eventsf, "w") as fh:
         json.dump(events, fh)
     if gt:
@@ -112,6 +138,14 @@ def main():
                     help="per-chromosome streaming fixture generation "
                          "(whole-genome scale: memory bounded by the "
                          "largest chromosome's reads, not the genome's)")
+    ap.add_argument("--human", action="store_true",
+                    help="GRCh38-shaped 24-chromosome ~3.09 Gb genome "
+                         "(overrides --chroms/--mb; implies you also want "
+                         "--fast-genome --stream); events scale with "
+                         "chromosome length via --events-per-mb")
+    ap.add_argument("--events-per-mb", type=float, default=8.0,
+                    help="event density for --human (default 8/Mb = "
+                         "1/125 kb, the ~25k-record whole-genome class)")
     ap.add_argument("--noise", choices=["hifi", "ont"], default=None,
                     help="realistic read noise (svision_tpu.noise): donor "
                          "SNPs/small indels + per-instrument sequencing "
@@ -134,12 +168,16 @@ def main():
     workdir = args.keep or tempfile.mkdtemp(prefix="svte2e_")
     os.makedirs(workdir, exist_ok=True)
 
-    print(f"[sim] {args.chroms} x {args.mb} Mb @ {args.coverage}x, "
-          f"{args.events_per_chrom} events/chrom -> {workdir}")
+    if args.human:
+        print(f"[sim] human-shaped 24-chrom 3.09 Gb @ {args.coverage}x, "
+              f"{args.events_per_mb}/Mb events -> {workdir}")
+    else:
+        print(f"[sim] {args.chroms} x {args.mb} Mb @ {args.coverage}x, "
+              f"{args.events_per_chrom} events/chrom -> {workdir}")
     genome, bam, events, genotypes, t_sim = build_inputs(
         workdir, args.chroms, args.mb, args.coverage, args.events_per_chrom,
         fast_genome=args.fast_genome, noise=args.noise, gt=args.gt,
-        stream=args.stream)
+        stream=args.stream, human=args.human, events_per_mb=args.events_per_mb)
     bam_mb = os.path.getsize(bam) / 1e6
     print(f"[sim] done in {t_sim:.1f}s ({bam_mb:.1f} MB BAM)")
 
@@ -216,7 +254,8 @@ def main():
     rss_self = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     rss_kids = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
     report = {
-        "chroms": args.chroms, "mb_per_chrom": args.mb,
+        "chroms": "human24" if args.human else args.chroms,
+        "mb_per_chrom": "grch38-shaped" if args.human else args.mb,
         "coverage": args.coverage, "noise": args.noise,
         "bam_mb": round(bam_mb, 1),
         "n_reads": n_reads, "planted_events": len(events),

@@ -7,6 +7,7 @@ and region fetch behave like htslib on real data.
 
 from __future__ import annotations
 
+import re
 import struct
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -31,6 +32,7 @@ def _pack_seq(seq: str) -> bytes:
     return ((a[0::2] << 4) | a[1::2]).astype(np.uint8).tobytes()
 _OP_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
 _REF_CONSUME = frozenset("MDN=X")
+_CIG_RE = re.compile(r"(\d+)([MIDNSHP=X])")
 
 
 @dataclass
@@ -45,16 +47,10 @@ class SamRecord:
     tags: bytes = b""
 
     def ref_span(self) -> int:
-        span = 0
-        num = 0
-        for ch in self.cigar if self.cigar != "*" else "":
-            if ch.isdigit():
-                num = num * 10 + ord(ch) - 48
-            else:
-                if ch in _REF_CONSUME:
-                    span += num
-                num = 0
-        return span
+        if self.cigar == "*":
+            return 0
+        return sum(int(m.group(1)) for m in _CIG_RE.finditer(self.cigar)
+                   if m.group(2) in _REF_CONSUME)
 
     def end_pos(self) -> int:
         span = self.ref_span()
@@ -88,23 +84,25 @@ def _bin_first_window(bin_no: int, min_shift: int, depth: int) -> int:
     return beg >> min_shift
 
 
-def _encode_record(rec: SamRecord, tid: int) -> bytes:
+def _encode_record(rec: SamRecord, tid: int) -> Tuple[bytes, int]:
+    """Returns (encoded bytes, end position) — the cigar is parsed exactly
+    once; callers (write_bam's index builder) reuse the end instead of
+    re-walking the cigar string per use (4x at WGS fixture scale)."""
     name = rec.qname.encode("ascii") + b"\x00"
+    ref_span = 0
     cigar_ops: List[int] = []
-    num = 0
-    for ch in rec.cigar if rec.cigar != "*" else "":
-        if ch.isdigit():
-            num = num * 10 + ord(ch) - 48
-        else:
-            cigar_ops.append((num << 4) | _OP_CODE[ch])
-            num = 0
+    if rec.cigar != "*":
+        for m in _CIG_RE.finditer(rec.cigar):
+            n, op = int(m.group(1)), m.group(2)
+            cigar_ops.append((n << 4) | _OP_CODE[op])
+            if op in _REF_CONSUME:
+                ref_span += n
+    end_pos = rec.pos + (ref_span if ref_span > 0 else 1)
     seq = rec.seq or ""
     l_seq = len(seq)
     tags = rec.tags
     if len(cigar_ops) > 0xFFFF:
         # SAM spec §4.2.2: placeholder kSmN cigar + real ops in CG:B,I
-        ref_span = sum((v >> 4) for v in cigar_ops
-                       if CIGAR_OPS[v & 0xF] in _REF_CONSUME)
         real = cigar_ops
         cigar_ops = [(l_seq << 4) | _OP_CODE["S"],
                      (ref_span << 4) | _OP_CODE["N"]]
@@ -116,18 +114,19 @@ def _encode_record(rec: SamRecord, tid: int) -> bytes:
     body = struct.pack(
         "<iiBBHHHiiii",
         tid, rec.pos, len(name), rec.mapq,
-        _reg2bin(rec.pos, rec.end_pos()), len(cigar_ops), rec.flag, l_seq,
+        _reg2bin(rec.pos, end_pos), len(cigar_ops), rec.flag, l_seq,
         -1, -1, 0)
     body += name
     body += struct.pack(f"<{len(cigar_ops)}I", *cigar_ops)
     body += bytes(packed) + qual + tags
-    return struct.pack("<i", len(body)) + body
+    return struct.pack("<i", len(body)) + body, end_pos
 
 
 def write_bam(path: str, references: Sequence[Tuple[str, int]],
               records, sort: bool = True,
               write_index: bool = True, index_format: str = "bai",
-              min_shift: int = 14, depth: int = 5) -> None:
+              min_shift: int = 14, depth: int = 5,
+              compress_level: int = 6) -> None:
     """index_format 'bai' writes path.bai (fixed 14/5 binning); 'csi' writes
     path.csi with (min_shift, depth) binning — the index samtools produces
     with `samtools index -c`, required for contigs >= 512 Mb.
@@ -160,7 +159,7 @@ def write_bam(path: str, references: Sequence[Tuple[str, int]],
     ref_last = [None] * len(refs)
 
     with open(path, "wb") as fh:
-        w = BgzfWriter(fh)
+        w = BgzfWriter(fh, level=compress_level)
         w.write(b"BAM\x01")
         text = header_text.encode("ascii")
         w.write(struct.pack("<i", len(text)) + text)
@@ -172,7 +171,8 @@ def write_bam(path: str, references: Sequence[Tuple[str, int]],
         for rec in recs:
             tid = tid_of.get(rec.ref_name, -1)
             voff_start = w.tell_virtual()
-            w.write(_encode_record(rec, tid))
+            data, endp = _encode_record(rec, tid)
+            w.write(data)
             voff_end = w.tell_virtual()
             if tid < 0:
                 continue
@@ -181,15 +181,15 @@ def write_bam(path: str, references: Sequence[Tuple[str, int]],
             else:
                 mapped[tid] += 1
             if index_format == "csi":
-                b = _reg2bin_csi(rec.pos, rec.end_pos(), min_shift, depth)
+                b = _reg2bin_csi(rec.pos, endp, min_shift, depth)
             else:
-                b = _reg2bin(rec.pos, rec.end_pos())
+                b = _reg2bin(rec.pos, endp)
             chunk_list = bins[tid].setdefault(b, [])
             if chunk_list and chunk_list[-1][1] == voff_start:
                 chunk_list[-1] = (chunk_list[-1][0], voff_end)
             else:
                 chunk_list.append((voff_start, voff_end))
-            last_win = (max(rec.end_pos(), rec.pos + 1) - 1) >> min_shift
+            last_win = (max(endp, rec.pos + 1) - 1) >> min_shift
             for win in range(rec.pos >> min_shift, last_win + 1):
                 if win not in linear[tid] or voff_start < linear[tid][win]:
                     linear[tid][win] = voff_start

@@ -43,6 +43,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+_BASE_LUT = np.frombuffer(b"ACGT", np.uint8)
+
 _COMP = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
 
 
@@ -282,26 +284,39 @@ def sequencing_edits(L: int, nprng: np.random.Generator,
     pos = nprng.integers(1, L - 1, size=n)
     u = nprng.random(n) * p_tot
     bases = "ACGT"
-    for r, x in zip(pos.tolist(), u.tolist()):
-        if x < prof.p_sub:
-            edits.append((r, "sub", bases[int(nprng.integers(4))]))
-        elif x < prof.p_sub + prof.p_ins:
-            k = int(nprng.geometric(1.0 - prof.ext))
-            ins = "".join(bases[int(b)] for b in nprng.integers(0, 4, k))
+    # batch the per-edit draws (identical distributions to the per-event
+    # loop this replaces; only the seeded draw ORDER differs) — at WGS
+    # fixture scale the per-edit Generator-call overhead dominated
+    kind = np.searchsorted(
+        np.array([prof.p_sub, prof.p_sub + prof.p_ins,
+                  prof.p_sub + prof.p_ins + prof.p_del]), u, side="right")
+    subp = pos[kind == 0]
+    if subp.size:
+        sb = nprng.integers(0, 4, subp.size)
+        edits += [(r, "sub", bases[b])
+                  for r, b in zip(subp.tolist(), sb.tolist())]
+    insp = pos[kind == 1]
+    if insp.size:
+        ks = nprng.geometric(1.0 - prof.ext, insp.size)
+        letters = _BASE_LUT[nprng.integers(0, 4, int(ks.sum()))]
+        allseq = letters.tobytes().decode("ascii")
+        off = np.concatenate([[0], np.cumsum(ks)]).tolist()
+        edits += [(r, "ins", allseq[off[i]:off[i + 1]])
+                  for i, r in enumerate(insp.tolist())]
+    delp = pos[kind == 2]
+    if delp.size:
+        ks = nprng.geometric(1.0 - prof.ext, delp.size)
+        edits += [(r, "del", min(k, max(1, L - 2 - r)))
+                  for r, k in zip(delp.tolist(), ks.tolist())]
+    for r in pos[kind == 3].tolist():
+        # segmental artifact: a >=50 bp spurious indel in ONE read —
+        # produces a singleton signature that clustering must reject
+        k = int(nprng.integers(50, prof.sv_err_max + 1))
+        if nprng.random() < 0.5:
+            ins = _BASE_LUT[nprng.integers(0, 4, k)].tobytes().decode("ascii")
             edits.append((r, "ins", ins))
-        elif x < prof.p_sub + prof.p_ins + prof.p_del:
-            k = int(nprng.geometric(1.0 - prof.ext))
-            edits.append((r, "del", min(k, max(1, L - 2 - r))))
-        else:
-            # segmental artifact: a >=50 bp spurious indel in ONE read —
-            # produces a singleton signature that clustering must reject
-            k = int(nprng.integers(50, prof.sv_err_max + 1))
-            if nprng.random() < 0.5:
-                ins = "".join(bases[int(b)]
-                              for b in nprng.integers(0, 4, k))
-                edits.append((r, "ins", ins))
-            elif L - 2 - r > k:
-                edits.append((r, "del", k))
+        elif L - 2 - r > k:
+            edits.append((r, "del", k))
     # dedupe positions (two edits at one base would fight); keep the first
     seen = set()
     uniq = []

@@ -150,7 +150,8 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                 events: List[Tuple[str, str, int, int]] = None,
                 noise: bool = False, coverage: int = 6,
                 profile=None, genotypes: List[str] = None,
-                stream: bool = False) -> List[Tuple]:
+                stream: bool = False,
+                compress_level: int = 6) -> List[Tuple]:
     """events: [(kind, chrom, anchor, size)]; returns the event list used.
 
     noise=True adds records every caller must FILTER (collect_signatures.py
@@ -344,7 +345,7 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
             emit_noise_extras(records)
         for c, g in genome_seq.items():
             emit_background(c, g, records)
-        write_bam(bam_path, refs, records)
+        write_bam(bam_path, refs, records, compress_level=compress_level)
         return events
 
     def per_chrom():
@@ -363,5 +364,6 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
             sink.sort(key=lambda r: r.pos)
             yield from sink
 
-    write_bam(bam_path, refs, per_chrom(), sort=False)
+    write_bam(bam_path, refs, per_chrom(), sort=False,
+              compress_level=compress_level)
     return events
