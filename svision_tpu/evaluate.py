@@ -66,6 +66,34 @@ def score_calls(calls: Sequence[Dict],
     per_type: Dict[str, Dict[str, int]] = {}
     tp = 0
     gt_eval = gt_correct = 0
+    # per-chrom sorted (pos, idx)/(end, idx) tables: candidates within tol
+    # of an anchor come from two bisections instead of a full scan — the
+    # O(truth x calls) loop was ~10^9 steps at whole-genome scale
+    # (25k events x 28k records); greedy semantics are unchanged because
+    # candidates are visited in ascending call index, matching the original
+    # first-lowest-index tie behavior of the strict `d < best` test
+    import bisect
+    by_chrom: Dict[str, Dict[str, list]] = {}
+    for i, c in enumerate(calls):
+        t = by_chrom.setdefault(c["chrom"], {"pos": [], "end": []})
+        t["pos"].append((c["pos"], i))
+        t["end"].append((c["end"], i))
+    for t in by_chrom.values():
+        t["pos"].sort()
+        t["end"].sort()
+
+    def _near(chrom: str, anchor: int) -> list:
+        t = by_chrom.get(chrom)
+        if t is None:
+            return []
+        out = set()
+        for key in ("pos", "end"):
+            arr = t[key]
+            lo = bisect.bisect_left(arr, (anchor - tol, -1))
+            hi = bisect.bisect_right(arr, (anchor + tol, len(calls)))
+            out.update(i for _, i in arr[lo:hi])
+        return sorted(out)
+
     for ti, (kind, chrom, anchor, size, *_aux) in enumerate(truth):
         stats = per_type.setdefault(kind, {"tp": 0, "fn": 0})
         # compound events ("DEL+INS", "INV+DEL"): every component must be
@@ -77,8 +105,9 @@ def score_calls(calls: Sequence[Dict],
         ok = True
         for comp in components:
             best = None
-            for i, c in enumerate(calls):
-                if used[i] or c["chrom"] != chrom:
+            for i in _near(chrom, anchor):
+                c = calls[i]
+                if used[i]:
                     continue
                 if not (c["types"] & _COMPATIBLE.get(comp, {comp})):
                     continue

@@ -31,7 +31,7 @@ import pytest  # noqa: E402
 SMOKE_MODULES = {
     "test_annotation", "test_bam_io", "test_call_parity",
     "test_callset_cluster", "test_cluster", "test_collect_parity",
-    "test_dotplot", "test_fast_inflate", "test_graph_parity",
+    "test_dotplot", "test_evaluate", "test_fast_inflate", "test_graph_parity",
     "test_graph_scale", "test_hashplot", "test_io_fuzz", "test_noise",
     "test_prefilter", "test_rasterize", "test_tabix", "test_truvari",
 }
