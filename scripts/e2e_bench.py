@@ -140,9 +140,10 @@ def main():
                          "largest chromosome's reads, not the genome's)")
     ap.add_argument("--human", action="store_true",
                     help="GRCh38-shaped 24-chromosome ~3.09 Gb genome "
-                         "(overrides --chroms/--mb; implies you also want "
-                         "--fast-genome --stream); events scale with "
-                         "chromosome length via --events-per-mb")
+                         "(overrides --chroms/--mb; forces --fast-genome "
+                         "and --stream — the per-base/in-memory paths are "
+                         "hours and tens of GB at this scale); events "
+                         "scale with chromosome length via --events-per-mb")
     ap.add_argument("--events-per-mb", type=float, default=8.0,
                     help="event density for --human (default 8/Mb = "
                          "1/125 kb, the ~25k-record whole-genome class)")
@@ -162,6 +163,8 @@ def main():
                     "pipeline, e.g. --cli-extra=--hash or "
                     "--cli-extra=--graph,--qname")
     args = ap.parse_args()
+    if args.human:
+        args.fast_genome = args.stream = True
     cli_extra = [f for f in args.cli_extra.split(",") if f]
 
     import tempfile

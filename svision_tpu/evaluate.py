@@ -103,9 +103,10 @@ def score_calls(calls: Sequence[Dict],
         components = kind.split("+")
         event_calls: set = set()
         ok = True
+        near = _near(chrom, anchor)     # same anchor for every component
         for comp in components:
             best = None
-            for i in _near(chrom, anchor):
+            for i in near:
                 c = calls[i]
                 if used[i]:
                     continue

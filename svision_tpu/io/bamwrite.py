@@ -92,11 +92,20 @@ def _encode_record(rec: SamRecord, tid: int) -> Tuple[bytes, int]:
     ref_span = 0
     cigar_ops: List[int] = []
     if rec.cigar != "*":
+        at = 0
         for m in _CIG_RE.finditer(rec.cigar):
+            if m.start() != at:
+                break
+            at = m.end()
             n, op = int(m.group(1)), m.group(2)
             cigar_ops.append((n << 4) | _OP_CODE[op])
             if op in _REF_CONSUME:
                 ref_span += n
+        if at != len(rec.cigar):
+            # the regex must consume the whole string — a malformed cigar
+            # (bad op letter, stray chars) must fail loudly, not encode a
+            # record whose span/bin disagree with the intended alignment
+            raise ValueError(f"malformed cigar {rec.cigar!r}")
     end_pos = rec.pos + (ref_span if ref_span > 0 else 1)
     seq = rec.seq or ""
     l_seq = len(seq)

@@ -290,33 +290,43 @@ def sequencing_edits(L: int, nprng: np.random.Generator,
     kind = np.searchsorted(
         np.array([prof.p_sub, prof.p_sub + prof.p_ins,
                   prof.p_sub + prof.p_ins + prof.p_del]), u, side="right")
-    subp = pos[kind == 0]
-    if subp.size:
-        sb = nprng.integers(0, 4, subp.size)
-        edits += [(r, "sub", bases[b])
-                  for r, b in zip(subp.tolist(), sb.tolist())]
-    insp = pos[kind == 1]
-    if insp.size:
-        ks = nprng.geometric(1.0 - prof.ext, insp.size)
+    # tagged (pos, draw-index, ...) so the position-collision dedupe below
+    # keeps the FIRST-DRAWN edit exactly like the per-event loop this
+    # replaces (grouping by kind would otherwise bias collisions toward
+    # substitutions — review finding)
+    tagged: List[Tuple] = []
+    which = np.nonzero(kind == 0)[0]
+    if which.size:
+        sb = nprng.integers(0, 4, which.size)
+        tagged += [(pos[i], int(i), "sub", bases[b])
+                   for i, b in zip(which.tolist(), sb.tolist())]
+    which = np.nonzero(kind == 1)[0]
+    if which.size:
+        ks = nprng.geometric(1.0 - prof.ext, which.size)
         letters = _BASE_LUT[nprng.integers(0, 4, int(ks.sum()))]
         allseq = letters.tobytes().decode("ascii")
         off = np.concatenate([[0], np.cumsum(ks)]).tolist()
-        edits += [(r, "ins", allseq[off[i]:off[i + 1]])
-                  for i, r in enumerate(insp.tolist())]
-    delp = pos[kind == 2]
-    if delp.size:
-        ks = nprng.geometric(1.0 - prof.ext, delp.size)
-        edits += [(r, "del", min(k, max(1, L - 2 - r)))
-                  for r, k in zip(delp.tolist(), ks.tolist())]
-    for r in pos[kind == 3].tolist():
+        tagged += [(pos[i], int(i), "ins", allseq[off[j]:off[j + 1]])
+                   for j, i in enumerate(which.tolist())]
+    which = np.nonzero(kind == 2)[0]
+    if which.size:
+        ks = nprng.geometric(1.0 - prof.ext, which.size)
+        tagged += [(pos[i], int(i), "del",
+                    min(k, max(1, L - 2 - pos[i])))
+                   for i, k in zip(which.tolist(), ks.tolist())]
+    for i in np.nonzero(kind == 3)[0].tolist():
         # segmental artifact: a >=50 bp spurious indel in ONE read —
         # produces a singleton signature that clustering must reject
+        r = pos[i]
         k = int(nprng.integers(50, prof.sv_err_max + 1))
         if nprng.random() < 0.5:
             ins = _BASE_LUT[nprng.integers(0, 4, k)].tobytes().decode("ascii")
-            edits.append((r, "ins", ins))
+            tagged.append((r, int(i), "ins", ins))
         elif L - 2 - r > k:
-            edits.append((r, "del", k))
+            tagged.append((r, int(i), "del", k))
+    edits += [(int(r), knd, payload)
+              for r, _i, knd, payload in sorted(tagged,
+                                                key=lambda e: (-e[0], e[1]))]
     # dedupe positions (two edits at one base would fight); keep the first
     seen = set()
     uniq = []

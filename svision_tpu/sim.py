@@ -178,9 +178,10 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
     background, sorted in-chrom and fed to the lazy BAM writer) so
     whole-genome-scale fixtures (3 Gb / tens of millions of reads) stay
     bounded by the largest chromosome's read set instead of the genome's.
-    Record CONTENT is identical to stream=False; only the seeded RNG draw
-    ORDER differs (per-chrom instead of events-then-background), so seeded
-    golden tests must keep the default."""
+    For CLEAN fixtures with chrom-ordered events the output is
+    byte-identical to stream=False (tests/test_bam_io.py); with a noise
+    profile (or events out of chrom order) the seeded RNG draw order
+    differs per record, so seeded golden tests must keep the default."""
     from svision_tpu import noise as _noise
     prof = _noise.get_profile(profile)
     rng = random.Random(seed)
@@ -191,6 +192,13 @@ def make_sv_bam(bam_path: str, genome_seq: Dict[str, str], seed: int = 0,
                   ("DEL", chrom, 100000, 500)]
     if genotypes is not None and len(genotypes) != len(events):
         raise ValueError("genotypes must be parallel to events")
+    bad = {ev[1] for ev in events} - set(genome_seq)
+    if bad:
+        # must fail in BOTH modes: the streaming path iterates genome
+        # chromosomes and would otherwise silently drop events on unknown
+        # chroms, writing a valid-looking BAM that benchmarks recall
+        # against never-planted truth (review finding)
+        raise ValueError(f"event chromosomes not in genome: {sorted(bad)}")
     if prof is not None:
         import numpy as np
         nprng = np.random.default_rng(seed)

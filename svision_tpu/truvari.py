@@ -299,16 +299,16 @@ def bench(base_vcf: str, comp_vcf: str, *, refdist: int = 500,
                 sc = match_score(b, comp[ci], refdist, pctsize, pctovl,
                                  pctseq, typeignore, gate_stats)
                 if sc is not None:
-                    pairs.append((sc[0], -sc[1], bi, ci))
+                    pairs.append((sc[0], sc[1], bi, ci))
     # deterministic ranking: score desc, distance asc, then entry order
     # (truvari's exact tie order on equal (score, distance) pairs remains
     # the one documented residual divergence, docs/EVALUATION.md)
-    pairs.sort(key=lambda p: (-p[0], -p[1], p[2], p[3]))
+    pairs.sort(key=lambda p: (-p[0], p[1], p[2], p[3]))
     base_hit = [False] * len(base)
     comp_hit = [False] * len(comp)
     gt_conc = 0
     matches: List[Tuple[int, int]] = []
-    for _score, _negd, bi, ci in pairs:
+    for _score, _dist, bi, ci in pairs:
         if base_hit[bi] or comp_hit[ci]:
             continue
         base_hit[bi] = comp_hit[ci] = True
