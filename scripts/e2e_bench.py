@@ -269,6 +269,8 @@ def main():
         "peak_rss_gb": round(rss_self / 1e6, 2),
         "peak_rss_child_gb": round(rss_kids / 1e6, 2),
         "locus_recall": res["recall"], "locus_precision": res["precision"],
+        "per_type": {k: f"{v['tp']}/{v['tp'] + v['fn']}"
+                     for k, v in sorted(res["per_type"].items())},
         "vcf": vcf,
     }
     if genotypes is not None:
