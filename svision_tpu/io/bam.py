@@ -241,6 +241,11 @@ class BamRecordRaw:
         )
 
 
+# parsed BAI/CSI indexes shared across BamReader instances in one process
+# (see BamReader._load_index); bounded FIFO, invalidated by (mtime, size)
+_INDEX_CACHE: Dict = {}
+
+
 class BamReader:
     def __init__(self, path: str):
         self.path = path
@@ -292,7 +297,21 @@ class BamReader:
                              (self.path + ".bai", _read_bai),
                              (base + ".bai", _read_bai)):
             if os.path.exists(cand):
-                self._index = reader(cand)
+                # process-wide parsed-index cache: a long-lived collection
+                # worker opens the same BAM once per WINDOW, and a
+                # whole-genome index parses in ~0.7 s — 322 windows paid
+                # ~110 s of the round-4 WGS collect wall before this.
+                # Keyed by (path, mtime, size) so a rewritten index is
+                # never stale; parsed indexes are read-only after load.
+                st = os.stat(cand)
+                key = (os.path.abspath(cand), st.st_mtime_ns, st.st_size)
+                idx = _INDEX_CACHE.get(key)
+                if idx is None:
+                    idx = reader(cand)
+                    if len(_INDEX_CACHE) >= 8:      # a run touches 1-2 BAMs
+                        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+                    _INDEX_CACHE[key] = idx
+                self._index = idx
                 return self._index
         self._index = False
         return self._index

@@ -467,3 +467,28 @@ def test_streamed_fixture_matches_inmemory(tmp_path):
             last = rec.pos
     assert sum(m for _, m, _ in br.get_index_statistics()) > 100
     br.close()
+
+
+def test_index_cache_shared_and_invalidated(tmp_path):
+    """Parsed BAI/CSI indexes are shared across BamReader opens in one
+    process (a collection worker opens the same BAM once per window; a
+    whole-genome index parse is ~0.7 s) and invalidated when the index
+    file changes."""
+    from svision_tpu.sim import make_genome, make_sv_bam
+    from svision_tpu.io import bam as bam_mod
+    genome = make_genome(str(tmp_path / "r.fa"), {"chr1": 60_000}, seed=1)
+    p = str(tmp_path / "s.bam")
+    make_sv_bam(p, genome, seed=2, events=[("DEL", "chr1", 30_000, 200)])
+    a = BamReader(p)
+    idx_a = a._load_index()
+    b = BamReader(p)
+    assert b._load_index() is idx_a           # cache hit, same object
+    # rewriting the BAM+index must invalidate (mtime/size key)
+    import os
+    import time
+    time.sleep(0.01)
+    make_sv_bam(p, genome, seed=3, events=[("DEL", "chr1", 30_000, 250)])
+    os.utime(p + ".bai")                      # ensure fresh mtime_ns
+    c = BamReader(p)
+    assert c._load_index() is not idx_a
+    assert sum(m for _, m, _ in c.get_index_statistics()) > 0
