@@ -298,6 +298,12 @@ def main(argv=None):
     ap.add_argument("-s", dest="min_support", type=int, default=5)
     ap.add_argument("-t", dest="thread_num", type=int, default=1)
     ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--tdup_gt", action="store_true", default=False,
+                    help="genotype het tandem duplications with the INS/DUP "
+                    "full-span reference-read rule (the reference matches "
+                    "'tDUP' against neither rule, so every het tDUP is "
+                    "called 1/1 — measured GT 0.90 vs 1.0 on a het/hom "
+                    "chromosome-scale cohort; see call/genotype.py)")
     ap.add_argument("--num-shards", type=int, default=1)
     ap.add_argument("--shard-id", type=int, default=None)
     ap.add_argument("--coordinator", default=None, metavar="HOST:PORT",
@@ -319,7 +325,7 @@ def main(argv=None):
         samples[name] = os.path.abspath(path)
     options = Options(out_path=ns.out_path, genome=ns.genome,
                       model_path=ns.model_path, min_support=ns.min_support,
-                      thread_num=ns.thread_num,
+                      thread_num=ns.thread_num, tdup_gt=ns.tdup_gt,
                       batch_size=ns.batch_size).normalized()
     os.makedirs(ns.out_path, exist_ok=True)
     out = run_cohort(samples, options, num_shards=ns.num_shards,
