@@ -242,8 +242,10 @@ class BamRecordRaw:
 
 
 # parsed BAI/CSI indexes shared across BamReader instances in one process
-# (see BamReader._load_index); bounded FIFO, invalidated by (mtime, size)
+# (see BamReader._load_index); bounded FIFO, content-keyed (path, crc32, size)
+import threading as _threading
 _INDEX_CACHE: Dict = {}
+_INDEX_CACHE_LOCK = _threading.Lock()
 
 
 class BamReader:
@@ -301,16 +303,22 @@ class BamReader:
                 # worker opens the same BAM once per WINDOW, and a
                 # whole-genome index parses in ~0.7 s — 322 windows paid
                 # ~110 s of the round-4 WGS collect wall before this.
-                # Keyed by (path, mtime, size) so a rewritten index is
-                # never stale; parsed indexes are read-only after load.
-                st = os.stat(cand)
-                key = (os.path.abspath(cand), st.st_mtime_ns, st.st_size)
-                idx = _INDEX_CACHE.get(key)
+                # Keyed by the file CONTENT (crc32, ~5 ms on a 9 MB index
+                # vs the 0.7 s parse) so a same-size rewrite within the
+                # filesystem's timestamp granularity can never serve a
+                # stale index; parsed indexes are read-only after load.
+                with open(cand, "rb") as fh:
+                    raw = fh.read()
+                import zlib
+                key = (os.path.abspath(cand), zlib.crc32(raw), len(raw))
+                with _INDEX_CACHE_LOCK:
+                    idx = _INDEX_CACHE.get(key)
                 if idx is None:
-                    idx = reader(cand)
-                    if len(_INDEX_CACHE) >= 8:      # a run touches 1-2 BAMs
-                        _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
-                    _INDEX_CACHE[key] = idx
+                    idx = reader(cand, raw)
+                    with _INDEX_CACHE_LOCK:
+                        if len(_INDEX_CACHE) >= 8:  # a run touches 1-2 BAMs
+                            _INDEX_CACHE.pop(next(iter(_INDEX_CACHE)))
+                        _INDEX_CACHE[key] = idx
                 self._index = idx
                 return self._index
         self._index = False
@@ -523,10 +531,13 @@ def _batch_to_alns(batch, names: List[str], indices=None) -> Iterator[Aln]:
         )
 
 
-def _read_bai(path: str) -> _BaiIndex:
+def _read_bai(path: str, raw: bytes = None) -> _BaiIndex:
     """Parse a BAI file into a _BaiIndex."""
-    with open(path, "rb") as fh:
-        data = fh.read()
+    if raw is not None:
+        data = raw
+    else:
+        with open(path, "rb") as fh:
+            data = fh.read()
     if data[:4] != b"BAI\x01":
         raise ValueError(f"{path}: not a BAI index")
     try:
@@ -569,10 +580,12 @@ def _parse_bai(data: bytes) -> _BaiIndex:
     return _BaiIndex(bins_per_ref, linear_per_ref, stats_per_ref)
 
 
-def _read_csi(path: str) -> _CsiIndex:
+def _read_csi(path: str, raw: bytes = None) -> _CsiIndex:
     """Parse a CSI v1 file (BGZF-compressed) into a _CsiIndex."""
+    import io as _io
     parts = []
-    with open(path, "rb") as fh:
+    with (_io.BytesIO(raw) if raw is not None
+          else open(path, "rb")) as fh:
         while True:
             block, csize = bgzf_read_block(fh)
             if csize == 0:

@@ -483,12 +483,9 @@ def test_index_cache_shared_and_invalidated(tmp_path):
     idx_a = a._load_index()
     b = BamReader(p)
     assert b._load_index() is idx_a           # cache hit, same object
-    # rewriting the BAM+index must invalidate (mtime/size key)
-    import os
-    import time
-    time.sleep(0.01)
+    # rewriting the BAM+index must invalidate — the key is the index
+    # CONTENT (crc32), so even a same-size same-mtime rewrite misses
     make_sv_bam(p, genome, seed=3, events=[("DEL", "chr1", 30_000, 250)])
-    os.utime(p + ".bai")                      # ensure fresh mtime_ns
     c = BamReader(p)
     assert c._load_index() is not idx_a
     assert sum(m for _, m, _ in c.get_index_statistics()) > 0
