@@ -23,7 +23,7 @@
 // compression levels and payload shapes in tests/test_fast_inflate.py.
 //
 // C ABI: svio_inflate(in, in_len, out, out_len) -> 0 ok / <0 error.
-// `in` MUST have 8 readable bytes of slack past in_len; `out` MUST have 16
+// `in` MUST have 8 readable bytes of slack past in_len; `out` MUST have 32
 // writable bytes of slack past out_len (both arranged by the caller).
 
 #include <cstdint>
@@ -40,10 +40,15 @@ constexpr int kTableSize = 1 << kTableBits;
 //   bits 16..31  payload: literal byte / symbol id / length base / dist base
 //   bit  31      F_LIT  (literal or plain-symbol entry; payload = symbol)
 //   bit  30      F_EOB  (end-of-block symbol)
+//   bit  29      F_2LIT (two literals packed: byte1 bits 16..23, byte2 8..15,
+//                bits 0..4 = combined code length — see combine_literals)
 // Distance-alphabet entries use no flag bits (base <= 24577 fits bits 16..30
-// and code length >= 1 keeps valid entries nonzero).
+// and code length >= 1 keeps valid entries nonzero). Length entries carry a
+// base <= 258 (bits 16..24), so bits 29..31 are zero there and the flag test
+// is unambiguous on the litlen table.
 constexpr uint32_t F_LIT = 1u << 31;
 constexpr uint32_t F_EOB = 1u << 30;
+constexpr uint32_t F_2LIT = 1u << 29;
 
 enum Alphabet { ALPHA_SYMS, ALPHA_LITLEN, ALPHA_DIST };
 
@@ -136,7 +141,33 @@ struct Huff {
           fast[idx] = entry;
       }
     }
+    if (alpha == ALPHA_LITLEN) combine_literals();
     return true;
+  }
+
+  // Pack two consecutive literals into one table entry where both codes fit
+  // in kTableBits. BAM payloads are literal-dense (4-bit-packed sequence
+  // bytes draw from ~16 common values, so their codes run 4-6 bits at BGZF
+  // level 1): most literal pairs decode with ONE lookup, halving the
+  // hot-loop dependency chain on the dominant byte class. Exact, not
+  // speculative — Huffman codes are prefix-free, so when the second entry's
+  // code length fits entirely inside the remaining known bits it IS the
+  // next symbol.
+  void combine_literals() {
+    // descending: idx >> l1 < idx, so the second-symbol lookup always sees
+    // an original (not yet combined) entry
+    for (int32_t idx = kTableSize - 1; idx >= 0; idx--) {
+      uint32_t e = fast[idx];
+      if (!(e & F_LIT)) continue;
+      uint32_t l1 = e & 31;
+      if (l1 >= kTableBits) continue;
+      uint32_t e2 = fast[idx >> l1];
+      if (!(e2 & F_LIT) || (e2 & F_2LIT)) continue;
+      uint32_t l2 = e2 & 31;
+      if (l1 + l2 > kTableBits) continue;
+      fast[idx] = F_LIT | F_2LIT | (e & 0xff0000u) |
+                  (((e2 >> 16) & 0xffu) << 8) | (l1 + l2);
+    }
   }
 };
 
@@ -306,27 +337,46 @@ int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
           return -12;
       }
 
-      // decompress the block body
+      // decompress the block body — software-pipelined: the NEXT symbol's
+      // table entry is looked up BEFORE the current match copy runs, so the
+      // (L2-latency-bound, 64 KiB window) match-source loads overlap the
+      // next decode instead of serializing with it. Invariants:
+      //   * a dispatch arm runs with >= 48 buffered bits (one match consumes
+      //     at most 48: length code <=15 + extra <=5 + dist code <=15 +
+      //     extra <=13), so no refill mid-arm;
+      //   * refill only ORs bits ABOVE nbits into `hold`, so an entry looked
+      //     up from peek(kTableBits) stays valid across a refill — entries
+      //     carried between iterations never need re-lookup.
+      if (b.nbits < 48) b.refill_fast();
+      uint32_t e = g_litlen.fast[b.peek(kTableBits)];
       for (;;) {
-        // one iteration consumes at most 48 bits (length code <=15 + extra
-        // <=5 + distance code <=15 + extra <=13), so skip the refill while
-        // that much is still buffered — on match-heavy BAM payloads (~25
-        // bits/match) this halves the refill count
-        if (b.nbits < 48) b.refill_fast();
-        uint32_t e = g_litlen.fast[b.peek(kTableBits)];
         uint32_t len;
         if (e & F_LIT) {
+          // 1 or 2 literals per entry (F_2LIT). Both bytes are stored
+          // unconditionally — the stray out[1] of a 1-literal entry is
+          // overwritten by the next emit or lands in the caller's output
+          // slack — and `out` advances by the entry's literal count.
           if (out >= out_end) return -14;
           b.drop(e & 31);
-          *out++ = (uint8_t)(e >> 16);
+          out[0] = (uint8_t)(e >> 16);
+          out[1] = (uint8_t)(e >> 8);
+          out += 1 + ((e >> 29) & 1);
           // literal run: keep decoding literals from the same refill
           while (b.nbits >= kTableBits && out < out_end) {
             e = g_litlen.fast[b.peek(kTableBits)];
             if (!(e & F_LIT)) break;
             b.drop(e & 31);
-            *out++ = (uint8_t)(e >> 16);
+            out[0] = (uint8_t)(e >> 16);
+            out[1] = (uint8_t)(e >> 8);
+            out += 1 + ((e >> 29) & 1);
           }
-          continue;
+          if (b.nbits < 48) b.refill_fast();
+          if (e & F_LIT) {           // run ended on bits/bounds, not entry
+            e = g_litlen.fast[b.peek(kTableBits)];
+            continue;
+          }
+          // e is a fresh non-literal entry and >= 48 bits are buffered:
+          // fall straight into the match/EOB dispatch below
         }
         if (e == 0) {
           // >kTableBits code: canonical decode, then classic length fetch
@@ -335,6 +385,8 @@ int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
           if (sym < 256) {
             if (out >= out_end) return -14;
             *out++ = (uint8_t)sym;
+            if (b.nbits < 48) b.refill_fast();
+            e = g_litlen.fast[b.peek(kTableBits)];
             continue;
           }
           if (sym == 256) break;
@@ -365,13 +417,35 @@ int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
         if ((int64_t)dist > out - out_base) return -17;
         if (out + len > out_end) return -18;
         const uint8_t* src = out - dist;
+        // preload the next symbol's entry before the copy (see loop header)
+        if (b.nbits < 48) b.refill_fast();
+        const uint32_t e_next = g_litlen.fast[b.peek(kTableBits)];
         if (dist == 1) {
           memset(out, *src, len);
           out += len;
+        } else if (dist >= 32) {
+          // the dominant class on BAM payloads (98% of matches have
+          // dist >= 16, ~60% > 4096: overlapping-read redundancy): one
+          // unconditional 32-byte copy covers the 26-byte average length
+          // with no loop; overshoot (<= 31 bytes) lands in bytes the next
+          // emit overwrites or in the output slack — svio sizes the block
+          // buffer with 32 bytes of slack for exactly this path
+          uint8_t* dst = out;
+          out += len;
+          memcpy(dst, src, 32);
+          if (len > 32) {
+            int64_t left = (int64_t)len - 32;
+            do {
+              dst += 32;
+              src += 32;
+              memcpy(dst, src, 32);
+              left -= 32;
+            } while (left > 0);
+          }
         } else if (dist >= 16) {
           // unconditional 16-byte copies, overshooting by up to 15 bytes
           // into bytes the next iteration will overwrite (or, at stream end,
-          // into the caller's 16-byte output slack); src trails dst by >= 16
+          // into the caller's output slack); src trails dst by >= 16
           // so chunks never overlap
           uint8_t* dst = out;
           out += len;
@@ -410,6 +484,7 @@ int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
           }
           out += len;
         }
+        e = e_next;   // entry preloaded before the copy
       }
     } else {
       return -19;  // reserved block type

@@ -28,6 +28,8 @@
 // fast raw-DEFLATE decoder (inflate.cc); zlib is the fallback on any error
 extern "C" int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
                             int64_t out_len);
+// PCLMUL-dispatched CRC-32, zlib convention (crc32.cc)
+extern "C" uint32_t svio_crc32(uint32_t crc, const uint8_t* buf, size_t len);
 
 namespace {
 
@@ -191,7 +193,7 @@ struct BgzfCursor {
     auto payload = item.payload;
     auto task = std::make_shared<std::packaged_task<bool()>>(
         [comp, payload, cdata_len, isize, crc_expect]() -> bool {
-          payload->resize(isize + 16);
+          payload->resize(isize + 32);
           if (isize > 0 && svio_inflate(comp->data(), cdata_len,
                                         payload->data(), isize) != 0) {
             z_stream zs;
@@ -206,7 +208,7 @@ struct BgzfCursor {
             if (rc != Z_STREAM_END) return false;
           }
           if (check_crc_enabled() &&
-              (uint32_t)crc32(0L, payload->data(), isize) != crc_expect)
+              svio_crc32(0, payload->data(), isize) != crc_expect)
             return false;
           payload->resize(isize);
           return true;
@@ -288,7 +290,7 @@ struct BgzfCursor {
     memcpy(&crc_expect, tail, 4);
     memcpy(&isize, tail + 4, 4);
 
-    block.resize(isize + 16);  // 16 bytes of output slack (see inflate.cc)
+    block.resize(isize + 32);  // 32 bytes of output slack (see inflate.cc)
     if (isize > 0 &&
         svio_inflate(cdata.data(), cdata_len, block.data(), isize) != 0) {
       // fall back to zlib: a fast-path decode error degrades to the old
@@ -308,7 +310,7 @@ struct BgzfCursor {
       }
     }
     if (check_crc_enabled() &&
-        (uint32_t)crc32(0L, block.data(), isize) != crc_expect) {
+        svio_crc32(0, block.data(), isize) != crc_expect) {
       corrupt = true;
       return false;
     }

@@ -38,7 +38,7 @@ def ensure_built(quiet: bool = True, force: bool = False) -> bool:
     if os.path.exists(_LIB_PATH) and not force:
         lib_mtime = os.path.getmtime(_LIB_PATH)
         srcs = [os.path.join(_NATIVE_DIR, f)
-                for f in ("svio.cc", "inflate.cc")]
+                for f in ("svio.cc", "inflate.cc", "crc32.cc")]
         if all(os.path.getmtime(s) <= lib_mtime
                for s in srcs if os.path.exists(s)):
             return True
@@ -59,7 +59,7 @@ def _load():
         return None
     # a checkout update can leave a stale .so next to newer sources; rebuild
     # before binding so new accessors (e.g. svio_voffset) resolve
-    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("svio.cc", "inflate.cc")]
+    srcs = [os.path.join(_NATIVE_DIR, f) for f in ("svio.cc", "inflate.cc", "crc32.cc")]
     if any(os.path.exists(s)
            and os.path.getmtime(s) > os.path.getmtime(_LIB_PATH)
            for s in srcs):

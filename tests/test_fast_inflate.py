@@ -31,7 +31,7 @@ def _lib():
 
 def _inflate(lib, cdata: bytes, isize: int):
     inb = ctypes.create_string_buffer(cdata, len(cdata) + 8)   # input slack
-    outb = ctypes.create_string_buffer(isize + 16)             # output slack
+    outb = ctypes.create_string_buffer(isize + 32)             # output slack
     rc = lib.svio_inflate(inb, len(cdata), outb, isize)
     return rc, outb.raw[:isize]
 
@@ -102,6 +102,27 @@ def test_bgzf_blocks_of_real_bam(tmp_path):
         n_blocks += 1
         off += bsize
     assert n_blocks > 1
+
+
+def test_crc32_matches_zlib():
+    """svio_crc32 (crc32.cc, PCLMUL-folded when available) must equal zlib's
+    crc32 for every length/alignment/seed — it gates block acceptance."""
+    lib = ctypes.CDLL(native_io._LIB_PATH)
+    lib.svio_crc32.restype = ctypes.c_uint32
+    lib.svio_crc32.argtypes = [ctypes.c_uint32, ctypes.c_char_p,
+                               ctypes.c_size_t]
+    rng = random.Random(7)
+    lengths = (list(range(0, 80)) +
+               [127, 128, 129, 1000, 4096, 65535, 65536, 70000])
+    for n in lengths:
+        data = os.urandom(n)
+        for seed in (0, 1, 0xdeadbeef):
+            assert lib.svio_crc32(seed, data, n) == zlib.crc32(data, seed), n
+    # unaligned starts exercise the loadu path
+    blob = os.urandom(70000)
+    for off in range(1, 16):
+        sl = blob[off:]
+        assert lib.svio_crc32(0, sl, len(sl)) == zlib.crc32(sl)
 
 
 def test_corrupt_input_never_crashes():
