@@ -34,7 +34,14 @@ _FNV_PRIME = np.uint64(1099511628211)
 
 
 def qname_hashes(batch) -> np.ndarray:
-    """[n] uint64 polynomial hash per record's qname (vectorized)."""
+    """[n] uint64 polynomial hash per record's qname.
+
+    The native scan (svio.cc ABI >= 3) computes the identical hash per
+    record while the qname bytes are hot in cache; the vectorized numpy
+    fallback below covers stale prebuilt libraries."""
+    native = getattr(batch, "sig_hash", None)
+    if native is not None:
+        return native
     buf = np.frombuffer(batch.qname_buf, np.uint8).astype(np.uint64)
     off = batch.qname_off
     if buf.size == 0:
@@ -74,10 +81,13 @@ def record_masks(batch, min_mapq: int, min_sv_size: int):
     valid &= batch.mapq >= min_mapq
     valid &= np.diff(batch.cigar_off) > 0
 
-    ops = batch.cigar_buf & np.uint32(0xF)
-    lens = batch.cigar_buf >> np.uint32(4)
-    big = ((ops == 1) | (ops == 2)) & (lens >= min_sv_size)   # I=1, D=2
-    if batch.cigar_buf.size:
+    native = getattr(batch, "max_indel", None)
+    if native is not None:         # scan-time feature (svio.cc ABI >= 3)
+        has_big = native >= min_sv_size
+    elif batch.cigar_buf.size:
+        ops = batch.cigar_buf & np.uint32(0xF)
+        lens = batch.cigar_buf >> np.uint32(4)
+        big = ((ops == 1) | (ops == 2)) & (lens >= min_sv_size)  # I=1, D=2
         rec_of = np.searchsorted(batch.cigar_off[1:],
                                  np.arange(batch.cigar_buf.size),
                                  side="right")

@@ -225,9 +225,20 @@ def run_detect(options, bam_path: str, chrom: str, part: int, start: int,
         logging.info("Processing %s:%s-%s, %s signatures", chrom, start, end,
                      len(sigs))
 
+        # Sorted span copies turn each cluster's coverage count into two
+        # binary searches instead of a linear scan over every fetched
+        # record (599 clusters x 54k spans in a 30x 10 Mb window was ~5% of
+        # the whole window). count = #{pos < cend} - #{endpos <= cstart}:
+        # valid because pos < endpos for every record, so any read ending
+        # at-or-before cstart also starts before cend.
+        pos_sorted = np.sort(pos)
+        end_sorted = np.sort(endpos)
+
         def coverage_counter(contig: str, cstart: int, cend: int) -> int:
             if contig == chrom and cstart >= start and cend <= end:
-                return int(np.count_nonzero((pos < cend) & (endpos > cstart)))
+                return int(np.searchsorted(pos_sorted, cend, side="left")
+                           - np.searchsorted(end_sorted, cstart,
+                                             side="right"))
             return bam.count_overlapping(contig, cstart, cend)
 
         clusters = partition_and_cluster(

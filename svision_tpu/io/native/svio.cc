@@ -359,6 +359,14 @@ struct Batch {
   std::vector<int32_t> refid, pos, endpos;
   std::vector<uint16_t> flag;
   std::vector<uint8_t> mapq;
+  // per-record prefilter features, computed during the scan so the Python
+  // clean-read prefilter (collect/prefilter.py) never touches the qname or
+  // CIGAR buffers for the ~97% of records it drops:
+  //   sig_hash  = polynomial qname hash, identical to prefilter.qname_hashes
+  //               (sum(byte[i]*FNV_PRIME^i mod 2^64) ^ len)
+  //   max_indel = longest I or D CIGAR op (0 when none)
+  std::vector<uint64_t> sig_hash;
+  std::vector<int32_t> max_indel;
   std::vector<int64_t> qname_off{0}, cigar_off{0}, seq_off{0};
   std::vector<char> qname_buf;
   std::vector<uint32_t> cigar_buf;
@@ -371,6 +379,7 @@ struct Batch {
 };
 
 const char SEQ_NT[17] = "=ACMGRSVTWYHKDBN";
+constexpr uint64_t kFnvPrime = 1099511628211ull;
 // ops that consume reference: M D N = X  (indices 0,2,3,7,8)
 const int REF_CONSUME[9] = {1, 0, 1, 1, 0, 0, 0, 1, 1};
 
@@ -448,15 +457,20 @@ int parse_record(const uint8_t* buf, int size, int tid, int64_t start,
     }
   }
   int64_t ref_span = 0;
+  uint32_t max_indel = 0;
   if (cg_ops) {
     for (int i = 0; i < cg_n; i++) {
       uint32_t v = rd_u32(cg_ops + 4 * i);
-      if (REF_CONSUME[v & 0xf]) ref_span += v >> 4;
+      uint32_t op = v & 0xf, l = v >> 4;
+      if (REF_CONSUME[op]) ref_span += l;
+      if ((op == 1 || op == 2) && l > max_indel) max_indel = l;  // I/D
     }
   } else {
     for (int i = 0; i < n_cigar; i++) {
       uint32_t v = rd_u32(cig + 4 * i);
-      if (REF_CONSUME[v & 0xf]) ref_span += v >> 4;
+      uint32_t op = v & 0xf, l = v >> 4;
+      if (REF_CONSUME[op]) ref_span += l;
+      if ((op == 1 || op == 2) && l > max_indel) max_indel = l;
     }
   }
   int64_t epos = pos + (ref_span > 0 ? ref_span : 1);
@@ -472,6 +486,17 @@ int parse_record(const uint8_t* buf, int size, int tid, int64_t start,
   out->qname_buf.insert(out->qname_buf.end(), (const char*)(buf + 32),
                         (const char*)(buf + 32 + l_read_name - 1));
   out->qname_off.push_back((int64_t)out->qname_buf.size());
+  {
+    uint64_t h = 0, pw = 1;
+    const uint8_t* q = buf + 32;
+    int ql = l_read_name - 1;
+    for (int i = 0; i < ql; i++) {
+      h += (uint64_t)q[i] * pw;   // wraps mod 2^64, matching numpy
+      pw *= kFnvPrime;
+    }
+    out->sig_hash.push_back(h ^ (uint64_t)ql);
+  }
+  out->max_indel.push_back((int32_t)max_indel);
 
   if (cg_ops) {
     for (int i = 0; i < cg_n; i++)
@@ -635,9 +660,11 @@ int32_t* svio_seq_len(SvioResult* r) { return r->batch.seq_len.data(); }
 char* svio_seq_buf(SvioResult* r) { return r->batch.seq_buf.data(); }
 int64_t svio_seq_buf_len(SvioResult* r) { return (int64_t)r->batch.seq_buf.size(); }
 uint64_t* svio_voffset(SvioResult* r) { return r->batch.voffset.data(); }
+uint64_t* svio_sig_hash(SvioResult* r) { return r->batch.sig_hash.data(); }
+int32_t* svio_max_indel(SvioResult* r) { return r->batch.max_indel.data(); }
 
 // bumped whenever the C ABI grows; the Python loader rebuilds a stale .so
-int svio_abi_version() { return 2; }
+int svio_abi_version() { return 3; }
 
 void svio_result_free(SvioResult* r) { delete r; }
 

@@ -19,7 +19,7 @@ _lib = None
 _load_failed = False
 
 # must match svio_abi_version() in svio.cc; bump both together
-_EXPECTED_ABI = 2
+_EXPECTED_ABI = 3
 
 
 def _abi_of(lib) -> int:
@@ -118,6 +118,14 @@ def _load():
         lib._has_voffset = True
     except AttributeError:
         lib._has_voffset = False
+    try:                       # ABI >= 3: scan-time prefilter features
+        lib.svio_sig_hash.restype = ctypes.POINTER(ctypes.c_uint64)
+        lib.svio_sig_hash.argtypes = [ctypes.c_void_p]
+        lib.svio_max_indel.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.svio_max_indel.argtypes = [ctypes.c_void_p]
+        lib._has_features = True
+    except AttributeError:
+        lib._has_features = False
     lib.svio_result_free.restype = None
     lib.svio_result_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -184,7 +192,7 @@ class NativeBatch:
     __slots__ = ("n", "refid", "pos", "endpos", "flag", "mapq",
                  "qname_off", "qname_buf", "cigar_off", "cigar_buf",
                  "seq_off", "seq_buf", "seq_len", "packed", "voffset",
-                 "_res")
+                 "sig_hash", "max_indel", "_res")
 
     def qname(self, i: int) -> str:
         return self.qname_buf[self.qname_off[i]:self.qname_off[i + 1]].decode()
@@ -230,6 +238,8 @@ def empty_batch() -> NativeBatch:
     b.packed = False
     b.seq_len = np.zeros(0, np.int32)
     b.voffset = np.zeros(0, np.uint64)
+    b.sig_hash = np.zeros(0, np.uint64)
+    b.max_indel = np.zeros(0, np.int32)
     return b
 
 
@@ -299,4 +309,8 @@ def fetch(bam_path: str, chunks: List[Tuple[int, int]], tid: int,
                  else None)
     b.voffset = (arr(lib.svio_voffset, b.n, np.uint64)
                  if lib._has_voffset else None)
+    b.sig_hash = (arr(lib.svio_sig_hash, b.n, np.uint64)
+                  if lib._has_features else None)
+    b.max_indel = (arr(lib.svio_max_indel, b.n, np.int32)
+                   if lib._has_features else None)
     return b
