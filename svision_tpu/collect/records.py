@@ -90,6 +90,60 @@ class Aln:
         return "".join(f"{ln}{op}" for op, ln in self.cigar)
 
 
+# numeric-op tables for aln_from_ops (BAM op codes 0..8 = MIDNSHP=X with the
+# H->S rewrite applied): query-consume includes S AND rewritten H, matching
+# __post_init__ run on a hard_to_soft cigar; P (6) counts as core for the
+# lead/tail clip split exactly like the seen_core loop above.
+_OPSTR_H2S = ("M", "I", "D", "N", "S", "S", "P", "=", "X")
+_NUM_QRY = (True, True, False, False, True, True, False, True, True)
+_NUM_REF = (True, False, True, True, False, False, False, True, True)
+
+
+def aln_from_ops(query_name: str, reference_name: str, reference_id: int,
+                 reference_start: int, flag: int, mapping_quality: int,
+                 raw_ops, query_sequence: Optional[str]) -> "Aln":
+    """Build an Aln from raw BAM uint32 CIGAR ops without the per-op
+    __post_init__ Python loop — one pass over a plain int list computes the
+    cigar tuples and every derived field (behaviour-identical to
+    Aln(..., cigar=hard_to_soft(decoded)); asserted by tests)."""
+    ref_len = 0
+    q_len = 0
+    lead_clip = 0
+    tail_clip = 0
+    seen_core = False
+    cigar: List[Tuple[str, int]] = []
+    append = cigar.append
+    for v in raw_ops.tolist() if hasattr(raw_ops, "tolist") else raw_ops:
+        op = v & 0xF
+        ln = v >> 4
+        append((_OPSTR_H2S[op], ln))
+        if _NUM_REF[op]:
+            ref_len += ln
+        if _NUM_QRY[op]:
+            q_len += ln
+        if op == 4 or op == 5:          # S (or H -> S)
+            if seen_core:
+                tail_clip += ln
+            else:
+                lead_clip += ln
+        else:
+            seen_core = True
+    a = object.__new__(Aln)
+    a.query_name = query_name
+    a.reference_name = reference_name
+    a.reference_id = reference_id
+    a.reference_start = reference_start
+    a.flag = flag
+    a.mapping_quality = mapping_quality
+    a.cigar = cigar
+    a.query_sequence = query_sequence
+    a.reference_end = reference_start + ref_len
+    a.query_alignment_start = lead_clip
+    a.query_alignment_end = q_len - tail_clip
+    a.query_length = q_len
+    return a
+
+
 def cigar_from_string(cs: str) -> List[Tuple[str, int]]:
     """Parse a SAM cigar string into [(op, len)] (cigar_to_list parity,
     collect_signatures.py:27-33)."""

@@ -510,24 +510,27 @@ class BamReader:
 
 def _batch_to_alns(batch, names: List[str], indices=None) -> Iterator[Aln]:
     """Native SoA batch -> Aln views (H->S rewrite applied). `indices`
-    restricts decoding to a subset of records (collect/prefilter.py)."""
-    for i in (range(batch.n) if indices is None else indices):
-        i = int(i)
-        ops = batch.cigar_ops(i)
-        cigar = []
-        for v in ops:
-            op = CIGAR_OPS[int(v) & 0xF]
-            cigar.append(("S" if op == "H" else op, int(v) >> 4))
-        refid = int(batch.refid[i])
-        yield Aln(
-            query_name=batch.qname(i),
-            reference_name=names[refid] if refid >= 0 else "*",
-            reference_id=refid,
-            reference_start=int(batch.pos[i]),
-            flag=int(batch.flag[i]),
-            mapping_quality=int(batch.mapq[i]),
-            cigar=cigar,
-            query_sequence=batch.seq(i),
+    restricts decoding to a subset of records (collect/prefilter.py).
+    Sequences for the whole selection are decoded in one vectorized pass
+    (native_io.decode_seqs) and Alns built by the fused single-loop
+    constructor (records.aln_from_ops)."""
+    from svision_tpu.collect.records import aln_from_ops
+    from svision_tpu.io.native_io import decode_seqs
+    idx = list(range(batch.n)) if indices is None else [int(i) for i in indices]
+    seqs = decode_seqs(batch, idx)
+    pos, flag, mapq, refid = batch.pos, batch.flag, batch.mapq, batch.refid
+    co, cb = batch.cigar_off, batch.cigar_buf
+    for k, i in enumerate(idx):
+        rid = int(refid[i])
+        yield aln_from_ops(
+            batch.qname(i),
+            names[rid] if rid >= 0 else "*",
+            rid,
+            int(pos[i]),
+            int(flag[i]),
+            int(mapq[i]),
+            cb[co[i]:co[i + 1]],
+            seqs[k],
         )
 
 

@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <malloc.h>
 #include <condition_variable>
 #include <deque>
 #include <functional>
@@ -546,6 +547,20 @@ SvioResult* svio_fetch(const char* bam_path, const uint64_t* chunk_beg,
                        const uint64_t* chunk_end, int n_chunks,
                        uint64_t voffset0, int tid, int64_t start, int64_t end,
                        int count_only, int decode_seq, int n_threads) {
+#ifdef __GLIBC__
+  // A 30x 10 Mb window's seq_buf is ~135 MB: above glibc's default mmap
+  // threshold, so every window mmap'ed fresh pages (soft-faulted on first
+  // touch) and munmap'ed them on free — ~0.1 s/window of kernel time on
+  // the WGS sweep. Raising the threshold keeps the big batch buffers on
+  // the brk heap where consecutive windows reuse them. Peak retention is
+  // one window's buffers per worker process.
+  static bool malloc_tuned = [] {
+    mallopt(M_MMAP_THRESHOLD, 512 << 20);
+    mallopt(M_TRIM_THRESHOLD, 512 << 20);
+    return true;
+  }();
+  (void)malloc_tuned;
+#endif
   FILE* fp = fopen(bam_path, "rb");
   if (!fp) return nullptr;
   BgzfCursor cur;

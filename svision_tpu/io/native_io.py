@@ -218,6 +218,41 @@ class NativeBatch:
         return out[:self.seq_len[i]].tobytes().decode()
 
 
+def decode_seqs(batch: NativeBatch, indices) -> list:
+    """Sequences for the given record indices as one vectorized pass.
+
+    Equivalent to [batch.seq(i) for i in indices] but gathers every kept
+    record's packed bytes first and runs a single nibble-expand over the
+    concatenation — per-record numpy-call overhead was ~60% of Aln
+    construction time in a 30x window (io/bam.py _batch_to_alns)."""
+    if not getattr(batch, "packed", False):
+        return [batch.seq(i) for i in indices]
+    off = batch.seq_off
+    sl = batch.seq_len
+    parts = []
+    counts = []
+    for i in indices:
+        lo, hi = off[i], off[i + 1]
+        parts.append(batch.seq_buf[lo:hi])
+        counts.append(hi - lo)
+    if not parts:
+        return []
+    packed = np.concatenate(parts)
+    ascii_all = np.empty(packed.size * 2, np.uint8)
+    ascii_all[0::2] = _NT16[packed >> 4]
+    ascii_all[1::2] = _NT16[packed & 0xF]
+    blob = ascii_all.tobytes()
+    out = []
+    pos = 0
+    for i, cnt in zip(indices, counts):
+        if cnt == 0:
+            out.append(None)
+            continue
+        out.append(blob[pos:pos + int(sl[i])])
+        pos += int(cnt) * 2
+    return [s.decode() if isinstance(s, bytes) else s for s in out]
+
+
 def empty_batch() -> NativeBatch:
     """A fully-populated zero-record batch (every array present, so
     consumers that read .pos/.flag/... before checking .n still work —
