@@ -62,14 +62,28 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
     eventsf = os.path.join(workdir, "events.json")
     gtf = os.path.join(workdir, "genotypes.json")
     paramsf = os.path.join(workdir, "fixture_params.json")
-    if os.path.exists(fasta) and os.path.exists(bam) and os.path.exists(eventsf):
+    # Bump FIXTURE_VERSION whenever sim.py/noise.py change the bytes a given
+    # params dict produces (e.g. an RNG draw-order change): cached fixtures
+    # from before the change then rebuild instead of silently passing the
+    # params check while containing different reads. Version 1 = the round-4
+    # batched-noise draw order; absent in older sidecars, so it defaults.
+    FIXTURE_VERSION = 1
+    params["fixture_version"] = FIXTURE_VERSION
+    if (os.path.exists(fasta) and os.path.exists(bam)
+            and os.path.exists(eventsf)
+            and (not gt or os.path.exists(gtf))):
         # fixture cache hit (--keep reruns at WGS scale skip the multi-minute
         # simulate+write) — but only when the build parameters match, so a
-        # rerun with different --chroms/--mb/... never benchmarks stale files
+        # rerun with different --chroms/--mb/... never benchmarks stale
+        # files. A --keep dir missing genotypes.json (removed, or a fixture
+        # interrupted between the BAM and gt writes) falls through to a
+        # rebuild instead of raising at the open below.
         cached = None
         if os.path.exists(paramsf):
             with open(paramsf) as fh:
                 cached = json.load(fh)
+            if cached is not None:
+                cached.setdefault("fixture_version", 1)
         if cached == params:
             with open(eventsf) as fh:
                 events = [tuple(e) for e in json.load(fh)]

@@ -34,6 +34,21 @@ def span_position_distance(a, b) -> float:
     return position_distance + span_distance
 
 
+_TRIU_CACHE: dict = {}
+
+
+def _triu_pairs(n: int):
+    """Cached np.triu_indices(n, 1) — partitions repeat the same small n
+    thousands of times per window and index generation dominated the
+    vectorized pdist there."""
+    got = _TRIU_CACHE.get(n)
+    if got is None:
+        if len(_TRIU_CACHE) > 512:      # bound: distinct n values only
+            _TRIU_CACHE.clear()
+        got = _TRIU_CACHE[n] = np.triu_indices(n, k=1)
+    return got
+
+
 def span_position_pdist(data: np.ndarray) -> np.ndarray:
     """Condensed distance matrix of span_position_distance, vectorized.
 
@@ -42,7 +57,7 @@ def span_position_pdist(data: np.ndarray) -> np.ndarray:
     """
     x = np.asarray(data, dtype=np.float64)
     n = x.shape[0]
-    iu, ju = np.triu_indices(n, k=1)
+    iu, ju = _triu_pairs(n)
     a, b = x[iu], x[ju]
     span1 = a[:, 1] - a[:, 0]
     span2 = b[:, 1] - b[:, 0]
@@ -98,7 +113,7 @@ def linkage_average(dists: np.ndarray, n: int) -> np.ndarray:
     cluster_signatures.py:80-85) runs in seconds instead of minutes."""
     d = np.asarray(dists, dtype=np.float64)
     D = np.full((n, n), np.inf, dtype=np.float64)
-    iu, ju = np.triu_indices(n, k=1)
+    iu, ju = _triu_pairs(n)
     D[iu, ju] = d
     D[ju, iu] = d
     z = np.empty((n - 1, 4), dtype=np.float64)
