@@ -300,10 +300,30 @@ def bench(base_vcf: str, comp_vcf: str, *, refdist: int = 500,
                                  pctseq, typeignore, gate_stats)
                 if sc is not None:
                     pairs.append((sc[0], sc[1], bi, ci))
-    # deterministic ranking: score desc, distance asc, then entry order
-    # (truvari's exact tie order on equal (score, distance) pairs remains
-    # the one documented residual divergence, docs/EVALUATION.md)
+    # deterministic ranking: score desc, distance asc, then entry order.
+    # truvari's own tie order on equal (score, distance) pairs is
+    # implementation-defined (an unstable object sort over MatchResult),
+    # so no reimplementation can byte-match it; instead every run carries a
+    # permutation-invariance certificate: `tie_entangled_groups` counts
+    # equal-(score, distance) groups in which two candidate pairs share a
+    # base or comp entry. When it is 0, every tie group's pairs are
+    # endpoint-disjoint, so each pair matches iff its endpoints survived
+    # the higher-ranked groups — independent of any intra-group order —
+    # and TP/FP/FN/GT are provably identical under EVERY tie permutation
+    # truvari could pick (property-tested in tests/test_truvari.py).
     pairs.sort(key=lambda p: (-p[0], p[1], p[2], p[3]))
+    tie_entangled = 0
+    i = 0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][:2] == pairs[i][:2]:
+            j += 1
+        if j - i > 1:
+            gb = [p[2] for p in pairs[i:j]]
+            gc = [p[3] for p in pairs[i:j]]
+            if len(set(gb)) < len(gb) or len(set(gc)) < len(gc):
+                tie_entangled += 1
+        i = j
     base_hit = [False] * len(base)
     comp_hit = [False] * len(comp)
     gt_conc = 0
@@ -338,6 +358,7 @@ def bench(base_vcf: str, comp_vcf: str, *, refdist: int = 500,
                tp_comp=tp_comp, fp=fp, fn=fn,
                precision=round(precision, 4), recall=round(recall, 4),
                f1=round(f1, 4), per_type=per_type,
+               tie_entangled_groups=tie_entangled,
                params=dict(refdist=refdist, pctsize=pctsize, pctovl=pctovl,
                            pctseq=pctseq, sizemin=sizemin, sizefilt=sizefilt,
                            sizemax=sizemax, passonly=passonly,

@@ -193,3 +193,76 @@ def test_equal_length_allele_resolved_inv_sizes_by_span(tmp_path):
     assert e.svtype == "INV" and e.svlen == 120
     base = _vcf(tmp_path, "b.vcf", [_row("chr1", 9000, "INV", 120)])
     assert bench(base, p, pctovl=0.5)["tp_base"] == 1
+
+
+# ---- tie-order invariance (round-5 closure of the last documented
+# ---- divergence: truvari's tie order is implementation-defined, so the
+# ---- certificate + these properties replace byte-matching it)
+
+def test_disjoint_tie_groups_counts_invariant(tmp_path):
+    """Two independent loci with IDENTICAL geometry produce equal-(score,
+    distance) candidate pairs; because the pairs touch disjoint entries the
+    certificate reports 0 and counts must not depend on entry order."""
+    rows_b = [_row("chr1", 10_000, "DEL", 400),
+              _row("chr1", 40_000, "DEL", 400)]
+    rows_c = [_row("chr1", 10_050, "DEL", 400),
+              _row("chr1", 40_050, "DEL", 400)]
+    results = []
+    for tag, (rb, rc) in enumerate([(rows_b, rows_c),
+                                    (rows_b[::-1], rows_c),
+                                    (rows_b, rows_c[::-1]),
+                                    (rows_b[::-1], rows_c[::-1])]):
+        base = _vcf(tmp_path, f"b{tag}.vcf", rb)
+        comp = _vcf(tmp_path, f"c{tag}.vcf", rc)
+        r = bench(base, comp)
+        assert r["tie_entangled_groups"] == 0
+        results.append((r["tp_base"], r["tp_comp"], r["fp"], r["fn"]))
+    assert len(set(results)) == 1
+
+
+def test_entangled_tie_group_is_flagged(tmp_path):
+    """A same-locus pile-up (two base + two comp entries at identical
+    coordinates) makes all four cross pairs exact ties sharing endpoints —
+    the run must carry a nonzero tie_entangled_groups certificate."""
+    rows = [_row("chr1", 10_000, "DEL", 400), _row("chr1", 10_000, "DEL", 400)]
+    base = _vcf(tmp_path, "b.vcf", rows)
+    comp = _vcf(tmp_path, "c.vcf", rows)
+    r = bench(base, comp)
+    assert r["tie_entangled_groups"] >= 1
+    # the pile-up is symmetric, so every tie order still matches both
+    assert r["tp_base"] == 2 and r["fp"] == 0
+
+
+def test_tie_permutation_property_random(tmp_path):
+    """Property: across randomized caller-shaped callsets (with deliberate
+    same-size events to force score ties), any run whose certificate is 0
+    yields identical TP/FP/FN/GT counts under every input-order shuffle."""
+    import random
+    rng = random.Random(5)
+    for trial in range(6):
+        rows_b, rows_c = [], []
+        pos = 10_000
+        for _ in range(rng.randrange(6, 14)):
+            size = rng.choice([120, 300, 400])        # repeats force ties
+            typ = rng.choice(["DEL", "INS", "INV"])
+            rows_b.append(_row("chr1", pos, typ, size))
+            if rng.random() < 0.8:                    # matching call
+                rows_c.append(_row("chr1", pos + rng.choice([0, 30, 50]),
+                                   typ, size))
+            if rng.random() < 0.3:                    # spurious call
+                rows_c.append(_row("chr1", pos + 5_000, typ, size))
+            pos += rng.randrange(8_000, 20_000)
+        counts = set()
+        entangled = 0
+        for shuffle in range(4):
+            rb, rc = rows_b[:], rows_c[:]
+            rng.shuffle(rb)
+            rng.shuffle(rc)
+            base = _vcf(tmp_path, f"tb{trial}_{shuffle}.vcf", rb)
+            comp = _vcf(tmp_path, f"tc{trial}_{shuffle}.vcf", rc)
+            r = bench(base, comp, gt_compare=True)
+            entangled = max(entangled, r["tie_entangled_groups"])
+            counts.add((r["tp_base"], r["tp_comp"], r["fp"], r["fn"],
+                        r["gt_concordance"]))
+        if entangled == 0:
+            assert len(counts) == 1, (trial, counts)
