@@ -168,6 +168,10 @@ def main(argv=None):
     print(f"[4/4] eval: P={score['precision']} R={score['recall']} "
           f"F1={score['f1']}{gt_msg} per-type="
           f"{ {k: v for k, v in score['per_type'].items()} }", flush=True)
+    print(f"[4/4] breakpoint resolution: |dpos| {score['bkp']['dpos']} "
+          f"within={score['bkp'].get('dpos_within')} "
+          f"|dlen| {score['bkp']['dlen']} "
+          f"strict={score.get('strict_recall')}", flush=True)
     print(json.dumps(report))
     return report
 

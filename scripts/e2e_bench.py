@@ -287,6 +287,10 @@ def main():
                      for k, v in sorted(res["per_type"].items())},
         "vcf": vcf,
     }
+    # breakpoint-resolution axis: |dpos|/|dlen| distributions over matched
+    # components + independent strict-tolerance re-matches (VERDICT r4 #4)
+    report["bkp"] = res.get("bkp")
+    report["strict_recall"] = res.get("strict_recall")
     if genotypes is not None:
         report["gt_concordance"] = res["gt_concordance"]
         report["gt_eval"] = res["gt_eval"]
