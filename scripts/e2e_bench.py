@@ -69,7 +69,8 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
     # batched-noise draw order; absent in older sidecars, so it defaults.
     FIXTURE_VERSION = 1
     params["fixture_version"] = FIXTURE_VERSION
-    if (os.path.exists(fasta) and os.path.exists(bam)
+    if (os.path.exists(fasta) and os.path.getsize(fasta) > 0
+            and os.path.exists(bam) and os.path.getsize(bam) > 0
             and os.path.exists(eventsf)
             and (not gt or os.path.exists(gtf))):
         # fixture cache hit (--keep reruns at WGS scale skip the multi-minute
@@ -94,6 +95,12 @@ def build_inputs(workdir, n_chroms, mb, coverage, events_per_chrom, seed=11,
             return fasta, bam, events, genotypes, 0.0
         print(f"[sim] kept fixtures in {workdir} were built with "
               f"{cached or 'unknown params'}; rebuilding for {params}")
+    # invalidate the sidecar BEFORE touching any fixture file: an
+    # interrupted rebuild must never leave a stale params file that
+    # validates half-rewritten fixtures for a later invocation (the
+    # sidecar is rewritten last, after every output is complete)
+    if os.path.exists(paramsf):
+        os.remove(paramsf)
     genome = make_genome(fasta, chroms, seed=seed, fast=fast_genome)
     rng = random.Random(seed)
     events = []
