@@ -123,3 +123,46 @@ def test_hash_empty_trailing_qname():
     h = qname_hashes(FakeBatch())
     assert h[0] == h[1], "identical qnames must hash identically"
     assert h[2] == np.uint64(0)
+
+
+def test_coverage_searchsorted_equals_linear_scan():
+    """The binary-search coverage count (collect/window.py) must equal the
+    linear overlap scan for arbitrary span sets — it feeds the cluster
+    coverage column in the candidate bed."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        n = int(rng.integers(1, 400))
+        pos = rng.integers(0, 100_000, n).astype(np.int64)
+        endpos = pos + rng.integers(1, 20_000, n).astype(np.int64)
+        ps, es = np.sort(pos), np.sort(endpos)
+        for _ in range(20):
+            cstart = int(rng.integers(0, 100_000))
+            cend = cstart + int(rng.integers(1, 30_000))
+            linear = int(np.count_nonzero((pos < cend) & (endpos > cstart)))
+            fast = int(np.searchsorted(ps, cend, side="left")
+                       - np.searchsorted(es, cstart, side="right"))
+            assert fast == linear, (cstart, cend, fast, linear)
+
+
+def test_aln_from_ops_equals_dataclass_path():
+    """records.aln_from_ops must produce byte-equal Aln state to the
+    decode-loop + hard_to_soft + __post_init__ path for arbitrary CIGARs."""
+    import numpy as np
+    from svision_tpu.collect.records import (Aln, aln_from_ops,
+                                             hard_to_soft, CIGAR_CHARS)
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        nops = int(rng.integers(1, 30))
+        kinds = rng.integers(0, 9, nops)
+        lens = rng.integers(1, 500, nops)
+        raw = (lens.astype(np.uint32) << np.uint32(4)) | kinds.astype(np.uint32)
+        cigar = [(CIGAR_CHARS[int(k)], int(l)) for k, l in zip(kinds, lens)]
+        ref = Aln(query_name="q", reference_name="chr1", reference_id=0,
+                  reference_start=1234, flag=0, mapping_quality=60,
+                  cigar=hard_to_soft(cigar), query_sequence="ACGT")
+        fast = aln_from_ops("q", "chr1", 0, 1234, 0, 60, raw, "ACGT")
+        assert fast.cigar == ref.cigar
+        for f in ("reference_end", "query_alignment_start",
+                  "query_alignment_end", "query_length"):
+            assert getattr(fast, f) == getattr(ref, f), f
