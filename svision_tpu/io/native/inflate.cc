@@ -240,9 +240,6 @@ inline int decode_sym(Bits& b, const Huff& h) {
   return decode_sym_slow(b, h);
 }
 
-// thread-local so the decoder is reentrant across slab-decode threads
-thread_local Huff g_litlen, g_dist;
-
 }  // namespace
 
 extern "C" {
@@ -250,6 +247,13 @@ extern "C" {
 // Returns 0 on success (exactly out_len bytes written), negative on error.
 int svio_inflate(const uint8_t* in, int64_t in_len, uint8_t* out,
                  int64_t out_len) {
+  // Decoder state lives on the stack (~9.6 KB): reentrant across
+  // block-parallel inflate threads with zero TLS machinery. The previous
+  // thread_local globals cost ~28% inside the dlopen'd shared library —
+  // global-dynamic TLS puts __tls_get_addr reloads on the hot loop's
+  // table accesses (a static-linked build was initial-exec and unaffected,
+  // which hid the tax from the standalone benchmarks).
+  Huff g_litlen, g_dist;
   Bits b{in, in + in_len};
   uint8_t* const out_base = out;
   uint8_t* const out_end = out + out_len;
