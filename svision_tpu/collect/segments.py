@@ -48,7 +48,9 @@ def analyze_between_aligns(primary: Aln, supplementary: List[Aln], options,
             "ref_start": alignment.reference_start,
             "ref_end": alignment.reference_end,
             "read_name": read_name,
-            "cigar": alignment.cigar,
+            # raw BAM op words on the native path, (H->S) tuples otherwise;
+            # analyze_inside_align accepts both (records.Aln.cigar_source)
+            "cigar": alignment.cigar_source(),
             "read_seq": alignment.query_sequence[q_start:q_end],
             "is_supplementary": alignment.is_supplementary,
         }
@@ -171,26 +173,56 @@ def analyze_inside_align(seg_dict: Seg, cigar: List[Tuple[str, int]], options,
 
     long_gaps = []     # [[read_lo, read_hi], [ref_lo, ref_hi], 'I'|'D']
     ins_seqs = []
-    for op, op_len in cigar:
-        if op in ("N", "S"):
-            read_pos += op_len
-        elif op == "I":
-            if op_len >= options.min_sv_size:
-                long_gaps.append([[read_pos, read_pos + op_len],
-                                  [ref_pos, ref_pos], "I"])
-                ins_seqs.append([read_pos, read_pos + op_len, ref_pos, ref_pos + 1,
-                                 read_seq[read_pos - read_start:
-                                          read_pos + op_len - read_start]])
-            read_pos += op_len
-        elif op == "D":
-            if op_len >= options.min_sv_size:
-                long_gaps.append([[read_pos, read_pos],
-                                  [ref_pos, ref_pos + op_len], "D"])
-            ref_pos += op_len
-        elif op in ("M", "X", "E", "="):
-            ref_pos += op_len
-            read_pos += op_len
-        # H, P: no-op
+    min_sv = options.min_sv_size
+    if cigar and type(cigar[0]) is int:
+        # raw BAM op words (native path, records.Aln.cigar_source): same
+        # walk as the tuple branch below with op 5 (H) treated as S per the
+        # reference's H->S rewrite (collect_signatures.py:91)
+        for v in cigar:
+            opc = v & 0xF
+            op_len = v >> 4
+            if opc == 1:                             # I
+                if op_len >= min_sv:
+                    long_gaps.append([[read_pos, read_pos + op_len],
+                                      [ref_pos, ref_pos], "I"])
+                    ins_seqs.append([read_pos, read_pos + op_len, ref_pos,
+                                     ref_pos + 1,
+                                     read_seq[read_pos - read_start:
+                                              read_pos + op_len - read_start]])
+                read_pos += op_len
+            elif opc == 2:                           # D
+                if op_len >= min_sv:
+                    long_gaps.append([[read_pos, read_pos],
+                                      [ref_pos, ref_pos + op_len], "D"])
+                ref_pos += op_len
+            elif opc == 0 or opc == 7 or opc == 8:   # M, =, X
+                ref_pos += op_len
+                read_pos += op_len
+            elif opc == 3 or opc == 4 or opc == 5:   # N, S, H->S
+                read_pos += op_len
+            # P: no-op
+    else:
+        for op, op_len in cigar:
+            if op in ("N", "S"):
+                read_pos += op_len
+            elif op == "I":
+                if op_len >= min_sv:
+                    long_gaps.append([[read_pos, read_pos + op_len],
+                                      [ref_pos, ref_pos], "I"])
+                    ins_seqs.append([read_pos, read_pos + op_len, ref_pos,
+                                     ref_pos + 1,
+                                     read_seq[read_pos - read_start:
+                                              read_pos + op_len - read_start]])
+                read_pos += op_len
+            elif op == "D":
+                if op_len >= min_sv:
+                    long_gaps.append([[read_pos, read_pos],
+                                      [ref_pos, ref_pos + op_len], "D"])
+                ref_pos += op_len
+            elif op in ("M", "X", "E", "="):
+                ref_pos += op_len
+                read_pos += op_len
+            # H, P: no-op
 
     if not long_gaps:
         return None, None

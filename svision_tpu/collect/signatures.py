@@ -28,7 +28,7 @@ def analyze_alignments(aligns: Iterable[Aln], options, ref) -> List[Signature]:
     # (collect_signatures.py:130-155)
     reads_dict: Dict[str, List[Aln]] = {}
     for align in aligns:
-        if not align.cigar:
+        if align.cigar_len == 0:
             continue
         if align.is_unmapped or align.is_secondary or align.mapq < min_mapq:
             continue

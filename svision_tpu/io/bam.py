@@ -514,12 +514,15 @@ def _batch_to_alns(batch, names: List[str], indices=None) -> Iterator[Aln]:
     Sequences for the whole selection are decoded in one vectorized pass
     (native_io.decode_seqs) and Alns built by the fused single-loop
     constructor (records.aln_from_ops)."""
-    from svision_tpu.collect.records import aln_from_ops
+    from svision_tpu.collect.records import aln_from_ops, batch_derived
     from svision_tpu.io.native_io import decode_seqs
     idx = list(range(batch.n)) if indices is None else [int(i) for i in indices]
     seqs = decode_seqs(batch, idx)
     pos, flag, mapq, refid = batch.pos, batch.flag, batch.mapq, batch.refid
-    co, cb = batch.cigar_off, batch.cigar_buf
+    ops_list, ref_len, q_len, lead, tail = batch_derived(
+        batch.cigar_buf, batch.cigar_off, idx)
+    rl, ql, ld, tl = (ref_len.tolist(), q_len.tolist(), lead.tolist(),
+                      tail.tolist())
     for k, i in enumerate(idx):
         rid = int(refid[i])
         yield aln_from_ops(
@@ -529,8 +532,9 @@ def _batch_to_alns(batch, names: List[str], indices=None) -> Iterator[Aln]:
             int(pos[i]),
             int(flag[i]),
             int(mapq[i]),
-            cb[co[i]:co[i + 1]],
+            ops_list[k],
             seqs[k],
+            _derived=(rl[k], ql[k], ld[k], tl[k]),
         )
 
 
