@@ -45,10 +45,19 @@ class SamRecord:
     cigar: str           # SAM cigar string or '*'
     seq: Optional[str] = None
     tags: bytes = b""
+    # Optional structured CIGAR ([n, op_char] lists) set by writers that
+    # already hold ops (noise.apply_edits_to_record) — _encode_record then
+    # skips the regex string parse, which dominated noisy whole-genome
+    # fixture writes. MUST equal fmt_cigar(ops) == cigar; the only
+    # post-construction cigar mutator is apply_edits_to_record, which sets
+    # both together.
+    ops: Optional[List[List]] = None
 
     def ref_span(self) -> int:
         if self.cigar == "*":
             return 0
+        if self.ops is not None:
+            return sum(n for n, op in self.ops if op in _REF_CONSUME)
         return sum(int(m.group(1)) for m in _CIG_RE.finditer(self.cigar)
                    if m.group(2) in _REF_CONSUME)
 
@@ -92,20 +101,29 @@ def _encode_record(rec: SamRecord, tid: int) -> Tuple[bytes, int]:
     ref_span = 0
     cigar_ops: List[int] = []
     if rec.cigar != "*":
-        at = 0
-        for m in _CIG_RE.finditer(rec.cigar):
-            if m.start() != at:
-                break
-            at = m.end()
-            n, op = int(m.group(1)), m.group(2)
-            cigar_ops.append((n << 4) | _OP_CODE[op])
-            if op in _REF_CONSUME:
-                ref_span += n
-        if at != len(rec.cigar):
-            # the regex must consume the whole string — a malformed cigar
-            # (bad op letter, stray chars) must fail loudly, not encode a
-            # record whose span/bin disagree with the intended alignment
-            raise ValueError(f"malformed cigar {rec.cigar!r}")
+        if rec.ops is not None:
+            # structured fast path (noisy fixtures: thousands of ops per
+            # record made the regex parse the top cost of the write)
+            for n, op in rec.ops:
+                cigar_ops.append((n << 4) | _OP_CODE[op])
+                if op in _REF_CONSUME:
+                    ref_span += n
+        else:
+            at = 0
+            for m in _CIG_RE.finditer(rec.cigar):
+                if m.start() != at:
+                    break
+                at = m.end()
+                n, op = int(m.group(1)), m.group(2)
+                cigar_ops.append((n << 4) | _OP_CODE[op])
+                if op in _REF_CONSUME:
+                    ref_span += n
+            if at != len(rec.cigar):
+                # the regex must consume the whole string — a malformed
+                # cigar (bad op letter, stray chars) must fail loudly, not
+                # encode a record whose span/bin disagree with the intended
+                # alignment
+                raise ValueError(f"malformed cigar {rec.cigar!r}")
     end_pos = rec.pos + (ref_span if ref_span > 0 else 1)
     seq = rec.seq or ""
     l_seq = len(seq)

@@ -138,82 +138,181 @@ def _merge_ops(ops: List[List]) -> List[List]:
 # ---------------------------------------------------------------------------
 # the read-space editor
 
-def _find_read_op(ops: List[List], r: int) -> Tuple[int, int, int]:
-    """(op index, offset within op, seq index of r) for read position r.
-    seq index is meaningful only when the op carries SEQ bases."""
-    rpos = spos = 0
-    for i, (n, op) in enumerate(ops):
-        if op in _READ_OPS:
-            if rpos <= r < rpos + n:
-                off = r - rpos
-                return i, off, spos + off
-            rpos += n
-        if op in _SEQ_OPS:
-            spos += n
-    raise IndexError(f"read position {r} outside cigar {fmt_cigar(ops)}")
+class _EditCursor:
+    """Amortized read-position lookup for one record's edit stream.
 
-
-def _apply_edit(ops: List[List], seq: bytearray, r: int, kind: str,
-                payload) -> None:
-    """One read-space edit against a read-oriented (ops, seq) pair.
+    Edits arrive sorted DESCENDING by read position (apply_group_edits), so
+    instead of re-scanning the op list from index 0 for every edit (the old
+    _find_read_op: O(edits x ops) — the single largest cost of ONT
+    whole-genome fixture generation), the cursor remembers (op index, read
+    pos, seq pos at that op's start) and walks backward/forward locally.
+    Behavior is op-for-op identical to the scan-from-zero version: read
+    positions partition into disjoint [rpos, rpos+n) intervals, so the op
+    containing r is unique and the walk direction cannot change which op is
+    found. Edit application semantics are unchanged (see apply()):
 
     sub: payload = replacement base (str, len 1)
     ins: payload = inserted bases (str), inserted BEFORE read position r
     del: payload = int count of read positions removed starting at r
+
+    SEQ changes go through a descending piece stack instead of in-place
+    bytearray splices: an insert/delete into a bytearray memmoves the read
+    tail (~half the read per edit; at ONT error rates that was ~30 GB of
+    memmove per 100 MB of fixture — the other dominant generator cost).
+    Because edits arrive in strictly descending read position, the virtual
+    sequence splits at the current edit's seq index `bound`: everything
+    BELOW bound is still untouched source bytes, everything at/above bound
+    has been finalized onto `chunks` (stored newest-first, i.e. reversed
+    virtual order). A sub/ins finalizes src[si:bound] plus its payload and
+    lowers bound; a delete consumes the virtual byte AT si — src[si] when
+    si < bound, else the front of the finalized region (exactly the byte
+    that had slid into place in the old in-place version; differential
+    fuzz vs the splice implementation covers this,
+    tests/test_noise.py::test_edit_cursor_matches_splice_semantics).
     """
-    if kind == "sub":
-        try:
-            i, off, si = _find_read_op(ops, r)
-        except IndexError:
-            return                              # shrunk past r by earlier del
-        if ops[i][1] != "H":
-            seq[si] = ord(payload)
-        return
-    if kind == "ins":
-        try:
-            i, off, si = _find_read_op(ops, r)
-        except IndexError:
+
+    __slots__ = ("ops", "src", "chunks", "bound", "i", "rpos", "spos")
+
+    def __init__(self, ops: List[List], seq: bytes):
+        self.ops = ops
+        self.src = seq
+        self.chunks: List[bytes] = []    # finalized pieces, newest-first
+        self.bound = len(seq)
+        self.i = 0
+        self.rpos = 0
+        self.spos = 0
+
+    def _find(self, r: int) -> Tuple[int, int, int]:
+        """(op index, offset within op, seq index of r) for read position r.
+        seq index is meaningful only when the op carries SEQ bases."""
+        ops = self.ops
+        i, rpos, spos = self.i, self.rpos, self.spos
+        while i > 0 and rpos > r:
+            i -= 1
+            n, op = ops[i]
+            if op in _READ_OPS:
+                rpos -= n
+            if op in _SEQ_OPS:
+                spos -= n
+        n_ops = len(ops)
+        while i < n_ops:
+            n, op = ops[i]
+            if op in _READ_OPS:
+                if rpos <= r < rpos + n:
+                    self.i, self.rpos, self.spos = i, rpos, spos
+                    off = r - rpos
+                    return i, off, spos + off
+                rpos += n
+            if op in _SEQ_OPS:
+                spos += n
+            i += 1
+        self.i, self.rpos, self.spos = i, rpos, spos
+        raise IndexError(f"read position {r} outside cigar {fmt_cigar(ops)}")
+
+    def _put_sub(self, si: int, payload: bytes) -> None:
+        """Replace the virtual byte at si. Usually si < bound (a src byte);
+        si == bound happens when an earlier edit AT THE SAME read position
+        (donor + sequencing edit lists are deduped separately and can
+        collide) already finalized content there — then the evolved byte is
+        the front of the finalized region, exactly as the in-place version
+        overwrote it."""
+        if si < self.bound:
+            self.chunks.append(self.src[si + 1:self.bound])
+            self.chunks.append(payload)
+            self.bound = si
             return
-        n, op = ops[i]
-        k = len(payload)
-        if op == "H":
-            ops[i][0] += k
-        elif op in "SI":
-            ops[i][0] += k
-            seq[si:si] = payload.encode()
-        else:                                   # M/=/X
-            if off > 0:
-                ops[i:i + 1] = [[off, op], [k, "I"], [n - off, op]]
-                seq[si:si] = payload.encode()
-            elif i > 0 and ops[i - 1][1] in "HS":
-                # bases inserted exactly at a clip junction join the clip
-                # (aligner behavior; keeps H/S adjacent to M, never H-I-M)
-                ops[i - 1][0] += k
-                if ops[i - 1][1] == "S":
-                    seq[si:si] = payload.encode()
-            else:
-                # previous op consumes no read positions (D/N) or is an I —
-                # the adjacent-indel layout aligners emit; merge cleans up
-                ops[i:i] = [[k, "I"]]
-                seq[si:si] = payload.encode()
-        return
-    if kind == "del":
-        for _ in range(int(payload)):
+        chunks = self.chunks
+        while chunks and not chunks[-1]:
+            chunks.pop()
+        if chunks:
+            chunks[-1] = payload + chunks[-1][1:]
+        else:
+            chunks.append(payload)
+
+    def _put_ins(self, si: int, payload: bytes) -> None:
+        self.chunks.append(self.src[si:self.bound])
+        self.chunks.append(payload)
+        self.bound = si
+
+    def _del_one(self, si: int) -> None:
+        """Drop the virtual byte at si: src[si] while si < bound; at
+        si == bound (a deletion run eating upward) the byte that slid into
+        place — the front of the finalized region."""
+        if si < self.bound:
+            if si + 1 < self.bound:
+                self.chunks.append(self.src[si + 1:self.bound])
+            self.bound = si
+            return
+        chunks = self.chunks
+        while chunks and not chunks[-1]:
+            chunks.pop()
+        if chunks:
+            chunks[-1] = chunks[-1][1:]
+
+    def apply(self, r: int, kind: str, payload) -> None:
+        ops = self.ops
+        if kind == "sub":
             try:
-                i, off, si = _find_read_op(ops, r)
+                i, off, si = self._find(r)
+            except IndexError:
+                return                          # shrunk past r by earlier del
+            if ops[i][1] != "H":
+                self._put_sub(si, payload.encode())
+            return
+        if kind == "ins":
+            try:
+                i, off, si = self._find(r)
             except IndexError:
                 return
             n, op = ops[i]
+            k = len(payload)
             if op == "H":
-                ops[i][0] -= 1
+                ops[i][0] += k
             elif op in "SI":
-                ops[i][0] -= 1
-                del seq[si]
-            else:                               # M/=/X -> M D M, span kept
-                ops[i:i + 1] = [[off, op], [1, "D"], [n - off - 1, op]]
-                del seq[si]
-        return
-    raise ValueError(kind)
+                ops[i][0] += k
+                self._put_ins(si, payload.encode())
+            else:                               # M/=/X
+                if off > 0:
+                    ops[i:i + 1] = [[off, op], [k, "I"], [n - off, op]]
+                    self._put_ins(si, payload.encode())
+                elif i > 0 and ops[i - 1][1] in "HS":
+                    # bases inserted exactly at a clip junction join the clip
+                    # (aligner behavior; keeps H/S adjacent to M, never H-I-M)
+                    ops[i - 1][0] += k
+                    # op i's start shifts right by the grown clip
+                    self.rpos += k
+                    if ops[i - 1][1] == "S":
+                        self._put_ins(si, payload.encode())
+                        self.spos += k
+                else:
+                    # previous op consumes no read positions (D/N) or is an
+                    # I — the adjacent-indel layout aligners emit; merge
+                    # cleans up. Cursor stays at index i = the new I op,
+                    # which starts at the same (rpos, spos).
+                    ops[i:i] = [[k, "I"]]
+                    self._put_ins(si, payload.encode())
+            return
+        if kind == "del":
+            for _ in range(int(payload)):
+                try:
+                    i, off, si = self._find(r)
+                except IndexError:
+                    return
+                n, op = ops[i]
+                if op == "H":
+                    ops[i][0] -= 1
+                elif op in "SI":
+                    ops[i][0] -= 1
+                    self._del_one(si)
+                else:                           # M/=/X -> M D M, span kept
+                    ops[i:i + 1] = [[off, op], [1, "D"], [n - off - 1, op]]
+                    self._del_one(si)
+            return
+        raise ValueError(kind)
+
+    def rebuild(self) -> bytes:
+        """Untouched source prefix + finalized pieces in virtual order."""
+        return self.src[:self.bound] + b"".join(reversed(self.chunks))
 
 
 def apply_edits_to_record(rec, edits: Sequence[Tuple]) -> None:
@@ -226,11 +325,13 @@ def apply_edits_to_record(rec, edits: Sequence[Tuple]) -> None:
     rev = bool(rec.flag & 16)
     if rev:
         ops = ops[::-1]
-        seq = bytearray(revcomp(rec.seq or ""), "ascii")
+        seq = revcomp(rec.seq or "").encode("ascii")
     else:
-        seq = bytearray(rec.seq or "", "ascii")
+        seq = (rec.seq or "").encode("ascii")
+    cursor = _EditCursor(ops, seq)
     for r, kind, payload in edits:
-        _apply_edit(ops, seq, r, kind, payload)
+        cursor.apply(r, kind, payload)
+    seq = cursor.rebuild()
     ops = _merge_ops(ops)
     if rev:
         ops = ops[::-1]
@@ -253,6 +354,7 @@ def apply_edits_to_record(rec, edits: Sequence[Tuple]) -> None:
         ops.pop(j)
         j -= 1
     rec.cigar = fmt_cigar(ops)
+    rec.ops = ops      # structured copy for the encoder (bamwrite fast path)
 
 
 def apply_group_edits(records: Sequence, edits: Sequence[Tuple]) -> None:

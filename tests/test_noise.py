@@ -265,3 +265,148 @@ def test_compound_curriculum_labels():
     assert set(labels.tolist()) <= {CLASS_IDS["DEL"], CLASS_IDS["INV"]}
     assert (labels == CLASS_IDS["DEL"]).sum() > 0
     assert (labels == CLASS_IDS["INV"]).sum() > 0
+
+
+def _splice_apply_reference(rec, edits):
+    """The pre-round-5 in-place splice editor, kept verbatim as the
+    semantic oracle for the piece-stack _EditCursor (noise.py): bytearray
+    insert/delete memmoves made it O(read_len) per edit, but its behavior
+    IS the specification."""
+    def find_read_op(ops, r):
+        rpos = spos = 0
+        for i, (n, op) in enumerate(ops):
+            if op in N._READ_OPS:
+                if rpos <= r < rpos + n:
+                    off = r - rpos
+                    return i, off, spos + off
+                rpos += n
+            if op in N._SEQ_OPS:
+                spos += n
+        raise IndexError(r)
+
+    def apply_edit(ops, seq, r, kind, payload):
+        if kind == "sub":
+            try:
+                i, off, si = find_read_op(ops, r)
+            except IndexError:
+                return
+            if ops[i][1] != "H":
+                seq[si] = ord(payload)
+            return
+        if kind == "ins":
+            try:
+                i, off, si = find_read_op(ops, r)
+            except IndexError:
+                return
+            n, op = ops[i]
+            k = len(payload)
+            if op == "H":
+                ops[i][0] += k
+            elif op in "SI":
+                ops[i][0] += k
+                seq[si:si] = payload.encode()
+            else:
+                if off > 0:
+                    ops[i:i + 1] = [[off, op], [k, "I"], [n - off, op]]
+                    seq[si:si] = payload.encode()
+                elif i > 0 and ops[i - 1][1] in "HS":
+                    ops[i - 1][0] += k
+                    if ops[i - 1][1] == "S":
+                        seq[si:si] = payload.encode()
+                else:
+                    ops[i:i] = [[k, "I"]]
+                    seq[si:si] = payload.encode()
+            return
+        if kind == "del":
+            for _ in range(int(payload)):
+                try:
+                    i, off, si = find_read_op(ops, r)
+                except IndexError:
+                    return
+                n, op = ops[i]
+                if op == "H":
+                    ops[i][0] -= 1
+                elif op in "SI":
+                    ops[i][0] -= 1
+                    del seq[si]
+                else:
+                    ops[i:i + 1] = [[off, op], [1, "D"], [n - off - 1, op]]
+                    del seq[si]
+            return
+        raise ValueError(kind)
+
+    if rec.flag & 4 or rec.cigar == "*":
+        return
+    ops = N.parse_cigar(rec.cigar)
+    rev = bool(rec.flag & 16)
+    if rev:
+        ops = ops[::-1]
+        seq = bytearray(N.revcomp(rec.seq or ""), "ascii")
+    else:
+        seq = bytearray(rec.seq or "", "ascii")
+    for r, kind, payload in edits:
+        apply_edit(ops, seq, r, kind, payload)
+    ops = N._merge_ops(ops)
+    if rev:
+        ops = ops[::-1]
+        rec.seq = N.revcomp(seq.decode("ascii"))
+    else:
+        rec.seq = seq.decode("ascii")
+    i = 0
+    while i < len(ops) and ops[i][1] in "HS":
+        i += 1
+    while i < len(ops) and ops[i][1] == "D":
+        rec.pos += ops[i][0]
+        ops.pop(i)
+    j = len(ops) - 1
+    while j >= 0 and ops[j][1] in "HS":
+        j -= 1
+    while j >= 0 and ops[j][1] == "D":
+        ops.pop(j)
+        j -= 1
+    rec.cigar = N.fmt_cigar(ops)
+
+
+def test_edit_cursor_matches_splice_semantics():
+    """Differential fuzz: the amortized piece-stack editor must match the
+    in-place splice editor record-for-record, including same-position
+    collisions (donor + sequencing lists dedupe separately) and deletion
+    runs that eat upward into previously edited content — the two cases
+    that actually diverged during development."""
+    rng = random.Random(7)
+    bases = "ACGT"
+    for trial in range(1500):
+        parts = []
+        if rng.random() < 0.4:
+            parts.append((rng.randint(1, 30), rng.choice("HS")))
+        for _ in range(rng.randint(1, 6)):
+            parts.append((rng.randint(1, 60), rng.choice("MMMMIDN")))
+        if rng.random() < 0.4:
+            parts.append((rng.randint(1, 30), rng.choice("HS")))
+        if not any(op == "M" for _, op in parts):
+            parts.append((20, "M"))
+        cig = "".join(f"{n}{op}" for n, op in parts)
+        ops = N.parse_cigar(cig)
+        seqlen = sum(n for n, op in ops if op in "SMI=X")
+        readlen = sum(n for n, op in ops if op in "HSMI=X")
+        seq = "".join(rng.choice(bases) for _ in range(seqlen))
+        flag = 16 if rng.random() < 0.3 else 0
+        edits = []
+        positions = sorted((rng.randrange(0, max(1, readlen))
+                            for _ in range(rng.randint(1, 14))), reverse=True)
+        for r in positions:
+            k = rng.random()
+            if k < 0.4:
+                edits.append((r, "sub", rng.choice(bases)))
+            elif k < 0.7:
+                edits.append((r, "ins", "".join(
+                    rng.choice(bases) for _ in range(rng.randint(1, 8)))))
+            else:
+                edits.append((r, "del", rng.randint(1, 25)))
+        r1 = SamRecord("q", flag, "c", 100, 60, cig, seq)
+        r2 = SamRecord("q", flag, "c", 100, 60, cig, seq)
+        _splice_apply_reference(r1, edits)
+        N.apply_edits_to_record(r2, edits)
+        assert (r1.cigar, r1.seq, r1.pos) == (r2.cigar, r2.seq, r2.pos), \
+            (trial, cig, flag, edits)
+        assert r2.ops is not None and N.fmt_cigar(r2.ops) == r2.cigar
