@@ -36,6 +36,10 @@ def span_position_distance(a, b) -> float:
 
 _TRIU_CACHE: dict = {}
 
+# partitions at/below this size take the scalar fast paths (python floats
+# are IEEE float64, so results are bit-equal; asserted by tests)
+_SMALL_N = 24
+
 
 def _triu_pairs(n: int):
     """Cached np.triu_indices(n, 1) — partitions repeat the same small n
@@ -53,10 +57,33 @@ def span_position_pdist(data: np.ndarray) -> np.ndarray:
     """Condensed distance matrix of span_position_distance, vectorized.
 
     Bit-identical to scipy pdist(data, span_position_distance): same float64
-    elementary operations in the same order.
-    """
+    elementary operations in the same order. Partitions are overwhelmingly
+    tiny (support-sized, n 6-20: one event's signatures), where numpy call
+    overhead dominates — a scalar path handles n <= _SMALL_N with the same
+    IEEE float64 expressions (python floats ARE float64; equality asserted
+    in tests/test_cluster.py)."""
     x = np.asarray(data, dtype=np.float64)
     n = x.shape[0]
+    if n <= _SMALL_N:
+        rows = x.tolist()
+        out = []
+        for i in range(n - 1):
+            a0, a1, norm = rows[i]
+            c1 = (a0 + a1) // 2
+            s1 = a1 - a0
+            for j in range(i + 1, n):
+                b0, b1, _ = rows[j]
+                p0 = abs(a0 - b0)
+                p1 = abs(a1 - b1)
+                p2 = abs(c1 - (b0 + b1) // 2)
+                if p1 < p0:
+                    p0 = p1
+                if p2 < p0:
+                    p0 = p2
+                s2 = b1 - b0
+                out.append(p0 / norm
+                           + abs(s1 - s2) / (s1 if s1 > s2 else s2))
+        return np.asarray(out, np.float64)
     iu, ju = _triu_pairs(n)
     a, b = x[iu], x[ju]
     span1 = a[:, 1] - a[:, 0]
@@ -101,17 +128,8 @@ class _LinkageUnionFind:
         return x
 
 
-def linkage_average(dists: np.ndarray, n: int) -> np.ndarray:
-    """Average-linkage via the NN-chain algorithm. Merge order, tie-breaking
-    and output labeling match scipy.cluster.hierarchy.linkage('average')
-    exactly: the nearest-neighbor scan prefers chain[-2] on ties (strict <,
-    first index wins — np.argmin semantics) and the Lance-Williams update is
-    the identical float64 expression, just row-vectorized. The distance
-    matrix is held square (8n² bytes) so every chain step is one C-level
-    argmin instead of an O(n) Python loop — a 10k-signature partition (dense
-    repeat regions; the reference only drops partitions >100k,
-    cluster_signatures.py:80-85) runs in seconds instead of minutes."""
-    d = np.asarray(dists, dtype=np.float64)
+def _chain_vector(d: np.ndarray, n: int) -> np.ndarray:
+    """NN-chain merge loop, numpy rows (n > _SMALL_N)."""
     D = np.full((n, n), np.inf, dtype=np.float64)
     iu, ju = _triu_pairs(n)
     D[iu, ju] = d
@@ -154,6 +172,96 @@ def linkage_average(dists: np.ndarray, n: int) -> np.ndarray:
         D[:, y] = new_row
         D[x, :] = np.inf
         D[:, x] = np.inf
+    return z
+
+
+def _chain_small(d: List[float], n: int) -> List[List[float]]:
+    """The identical NN-chain loop in scalar python — same IEEE float64
+    arithmetic in the same order (argmin keeps the FIRST minimum, the
+    Lance-Williams expression reads both old rows before either is
+    overwritten), minus the numpy per-call overhead that dominates at
+    support-sized partitions."""
+    inf = float("inf")
+    D = [[inf] * n for _ in range(n)]
+    k = 0
+    for i in range(n - 1):
+        Di = D[i]
+        for j in range(i + 1, n):
+            v = d[k]
+            k += 1
+            Di[j] = v
+            D[j][i] = v
+    z = [[0.0, 0.0, 0.0, 0.0] for _ in range(n - 1)]
+    size = [1] * n
+    chain: List[int] = []
+
+    for step in range(n - 1):
+        if not chain:
+            chain.append(next(i for i in range(n) if size[i] > 0))
+        while True:
+            x = chain[-1]
+            if len(chain) > 1:
+                y = chain[-2]
+                current_min = D[x][y]
+            else:
+                y = -1
+                current_min = inf
+            row = D[x]
+            am = 0
+            best = row[0]
+            for idx in range(1, n):
+                v = row[idx]
+                if v < best:
+                    best = v
+                    am = idx
+            if best < current_min:
+                current_min = best
+                y = am
+            if len(chain) > 1 and y == chain[-2]:
+                break
+            chain.append(y)
+        del chain[-2:]
+        if x > y:
+            x, y = y, x
+        nx, ny = size[x], size[y]
+        zs = z[step]
+        zs[0] = float(x)
+        zs[1] = float(y)
+        zs[2] = current_min
+        zs[3] = float(nx + ny)
+        size[x] = 0
+        size[y] = nx + ny
+        rx = D[x]
+        ry = D[y]
+        denom = nx + ny
+        for idx in range(n):
+            nv = (nx * rx[idx] + ny * ry[idx]) / denom
+            ry[idx] = nv
+            D[idx][y] = nv
+            rx[idx] = inf
+            D[idx][x] = inf
+        # new_row[y] and new_row[x] evaluate to +inf through the same
+        # arithmetic (old D[y][y] / D[x][x] are +inf), so no explicit
+        # overwrite is needed; x's row/column are fully retired above
+    return z
+
+
+def linkage_average(dists: np.ndarray, n: int) -> np.ndarray:
+    """Average-linkage via the NN-chain algorithm. Merge order, tie-breaking
+    and output labeling match scipy.cluster.hierarchy.linkage('average')
+    exactly: the nearest-neighbor scan prefers chain[-2] on ties (strict <,
+    first index wins — np.argmin semantics) and the Lance-Williams update is
+    the identical float64 expression, just row-vectorized. The distance
+    matrix is held square (8n² bytes) so every chain step is one C-level
+    argmin instead of an O(n) Python loop — a 10k-signature partition (dense
+    repeat regions; the reference only drops partitions >100k,
+    cluster_signatures.py:80-85) runs in seconds instead of minutes."""
+    d = np.asarray(dists, dtype=np.float64)
+    if n <= _SMALL_N:
+        z = np.asarray(_chain_small(d.tolist(), n),
+                       dtype=np.float64).reshape(-1, 4)
+    else:
+        z = _chain_vector(d, n)
 
     order = np.argsort(z[:, 2], kind="stable")
     z = z[order]
