@@ -166,3 +166,42 @@ def test_aln_from_ops_equals_dataclass_path():
         for f in ("reference_end", "query_alignment_start",
                   "query_alignment_end", "query_length"):
             assert getattr(fast, f) == getattr(ref, f), f
+
+
+def test_batch_derived_equals_per_record_loop():
+    """records.batch_derived (one vectorized pass over a selection's CIGAR
+    ops) must agree field-for-field with aln_from_ops' scalar loop for
+    arbitrary op mixes, including all-clip records and scattered
+    selections."""
+    import numpy as np
+    from svision_tpu.collect.records import aln_from_ops, batch_derived
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        n_rec = int(rng.integers(1, 40))
+        bufs = []
+        off = [0]
+        for _ in range(n_rec):
+            nops = int(rng.integers(1, 25))
+            if rng.random() < 0.1:
+                # all-clip record: lead collects everything, tail empty
+                kinds = rng.choice([4, 5], nops)
+            else:
+                kinds = rng.integers(0, 9, nops)
+            lens = rng.integers(1, 400, nops)
+            bufs.append((lens.astype(np.uint32) << np.uint32(4))
+                        | kinds.astype(np.uint32))
+            off.append(off[-1] + nops)
+        cigar_buf = np.concatenate(bufs)
+        cigar_off = np.asarray(off, np.int64)
+        k = int(rng.integers(1, n_rec + 1))
+        idx = np.sort(rng.choice(n_rec, size=k, replace=False))
+        ops_list, ref_len, q_len, lead, tail = batch_derived(
+            cigar_buf, cigar_off, idx)
+        for j, i in enumerate(idx.tolist()):
+            ref = aln_from_ops("q", "c", 0, 1000, 0, 60,
+                               cigar_buf[cigar_off[i]:cigar_off[i + 1]], None)
+            assert ops_list[j] == ref.raw_ops
+            assert 1000 + int(ref_len[j]) == ref.reference_end
+            assert int(q_len[j]) == ref.query_length
+            assert int(lead[j]) == ref.query_alignment_start
+            assert int(q_len[j]) - int(tail[j]) == ref.query_alignment_end
